@@ -1,0 +1,231 @@
+"""The crawl round loop: pop → fetch → pipeline → discover → commit.
+
+Each round is one deterministic micro-batch (SURVEY §2.9: the reference is
+cron-batch, not streaming, so the engine is batch-iterative by design):
+
+  1. pending = frontier.state == 'pending', robots-gated (blocked rows are
+     retired permanently, mirroring the reference's discarded_repositories
+     split F1);
+  2. pop ≤ host_budget URLs per host via the salted windowed priority queue
+     (W1/W2; ≡ the reference's LIMIT-k lease O4);
+  3. "fetch" = left join against the pages table on canonical url (S3/S4 —
+     the sandboxed stand-in for a real fetcher; missing pages → 'missing');
+  4. size gate: pages ≤ min_page_bytes are retired 'too_small' (F3,
+     heuristicwalk.py:29);
+  5. the template pipeline runs on fetched pages (templates delta appended);
+  6. link discovery: outlink URLs harvested natively from page text,
+     canonicalized, deduped, bloom+anti-joined against the frontier (J3),
+     admitted as new pending rows (depth+1);
+  7. state transitions + the new rows become the next frontier snapshot;
+  8. checkpoint: frontier snapshot + templates delta + metrics.json are
+     written under round=NNNN/, then MANIFEST.json last — a round without a
+     MANIFEST never happened (atomic commit), so a killed job resumes
+     exactly at the last complete round.
+
+At 10^10-URL scale the frontier snapshot-per-round becomes an Iceberg MERGE
+(row-level deltas + snapshot lineage); the checkpoint layout here keeps the
+same commit/resume semantics with plain parquet (SURVEY §7 risk 6).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+from dataclasses import dataclass, field
+from typing import Dict, List, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from logtemplatecrawler_spark.crawl import frontier as FR
+from logtemplatecrawler_spark.crawl.politeness import pop_per_host
+from logtemplatecrawler_spark.crawl.robots import with_robots_blocked
+from logtemplatecrawler_spark.crawl.seen import build_bloom, filter_unseen
+from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
+
+# Native outlink harvest — must stay identical to the oracle simulator's
+# Python regex (tests/test_crawl.py).
+OUTLINK_RE = "https?://[^\\s\"'<>)*]+"
+
+
+@dataclass
+class CrawlConfig:
+    checkpoint_dir: str
+    host_budget: int = 2
+    n_salts: int = 8
+    max_rounds: int = 100
+    min_page_bytes: int = 255
+    discover_links: bool = True
+    discovered_priority: int = 0
+    use_bloom: bool = True
+    extra_confs: Dict[str, str] = field(default_factory=dict)
+
+
+def _round_dir(cfg: CrawlConfig, rnd: int) -> str:
+    return os.path.join(cfg.checkpoint_dir, f"round={rnd:04d}")
+
+
+def last_complete_round(cfg: CrawlConfig) -> Optional[int]:
+    """Highest round with a MANIFEST (commit marker), or None."""
+    if not os.path.isdir(cfg.checkpoint_dir):
+        return None
+    rounds = []
+    for name in os.listdir(cfg.checkpoint_dir):
+        if name.startswith("round=") and os.path.exists(
+            os.path.join(cfg.checkpoint_dir, name, "MANIFEST.json")
+        ):
+            rounds.append(int(name.split("=")[1]))
+    return max(rounds) if rounds else None
+
+
+def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
+    return spark.read.parquet(os.path.join(_round_dir(cfg, rnd), "frontier"))
+
+
+def read_all_templates(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
+    """Union of all committed per-round template deltas."""
+    last = last_complete_round(cfg)
+    paths = [
+        os.path.join(_round_dir(cfg, r), "templates")
+        for r in range((last or -1) + 1)
+        if os.path.isdir(os.path.join(_round_dir(cfg, r), "templates"))
+    ]
+    if not paths:
+        raise FileNotFoundError(f"no committed template deltas under {cfg.checkpoint_dir}")
+    return spark.read.parquet(*paths)
+
+
+def discover_outlinks(fetched_pages: DataFrame) -> DataFrame:
+    """Harvest + canonicalize outlink URLs from fetched page text (S2 analog:
+    the pages table self-describes its edges; explode replaces tree walks)."""
+    links = fetched_pages.select(
+        F.explode(F.regexp_extract_all("text", F.lit(OUTLINK_RE), 0)).alias("url")
+    )
+    return links.select(FR.canonicalize_url(F.col("url")).alias("url")).distinct()
+
+
+def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
+              robots: DataFrame, cfg: CrawlConfig) -> List[Dict]:
+    """Run (or resume) the crawl to completion; returns per-round metrics."""
+    os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    resumed = last_complete_round(cfg)
+    if resumed is None:
+        frontier = FR.frontier_from_seeds(seeds, n_salts=cfg.n_salts)
+        next_round = 0
+    else:
+        frontier = load_frontier(spark, cfg, resumed)
+        next_round = resumed + 1
+
+    pages_kv = pages.select(
+        FR.canonicalize_url(F.col("url")).alias("url"),
+        "warc_ts", "html", "text", "lang",
+    )
+
+    metrics_log: List[Dict] = []
+    for rnd in range(next_round, cfg.max_rounds):
+        t0 = time.monotonic()
+        pending = frontier.where(F.col("state") == FR.STATE_PENDING)
+
+        gated = with_robots_blocked(pending, robots)
+        blocked = gated.where(F.col("robots_blocked")).select("url")
+        eligible = gated.where(~F.col("robots_blocked")).drop("robots_blocked")
+
+        popped = pop_per_host(eligible, cfg.host_budget, salted=True)
+        popped_urls = popped.select("url", "priority", "depth")
+
+        fetched = popped_urls.join(pages_kv, "url", "left")
+        fetched = fetched.withColumn(
+            "fetch_state",
+            F.when(F.col("text").isNull(), F.lit(FR.STATE_MISSING))
+            .when(F.octet_length("html") <= cfg.min_page_bytes, F.lit(FR.STATE_TOO_SMALL))
+            .otherwise(F.lit(FR.STATE_DONE)),
+        )
+        # One materialization of the (small) per-round batch: reused by the
+        # pipeline, discovery, transitions, and metrics.
+        fetched = fetched.persist()
+        n_blocked = blocked.count()
+        n_popped = fetched.count()
+        if n_popped == 0 and n_blocked == 0:
+            fetched.unpersist()
+            break
+
+        good = fetched.where(F.col("fetch_state") == FR.STATE_DONE)
+        templates = extract_templates(
+            good.select("url", "warc_ts", "html", "text", "lang"), dedup=True
+        )
+        # Cross-round dedup: the reference's negative-cache / ON CONFLICT
+        # anti-joins (F11/J3, dags/log2vec_process-repository.py:297-328) —
+        # a template (or parsed_template) already committed by an earlier
+        # round never re-enters.
+        prev_rounds = [
+            os.path.join(_round_dir(cfg, r), "templates") for r in range(rnd)
+            if os.path.exists(os.path.join(_round_dir(cfg, r), "MANIFEST.json"))
+        ]
+        if prev_rounds:
+            prev = spark.read.parquet(*prev_rounds)
+            templates = templates.join(
+                prev.select("template").distinct(), "template", "left_anti"
+            ).join(
+                prev.select("parsed_template").distinct(), "parsed_template", "left_anti"
+            )
+
+        if cfg.discover_links:
+            candidates = discover_outlinks(good)
+            bloom = build_bloom(frontier) if cfg.use_bloom else None
+            candidates = FR.with_frontier_keys(candidates, n_salts=cfg.n_salts)
+            new_urls = filter_unseen(candidates, frontier, bloom)
+            new_rows = new_urls.select(
+                "url", "url_hash", "host", "salt",
+                F.lit(cfg.discovered_priority).alias("priority"),
+                F.lit(rnd + 1).alias("depth"),
+                F.lit(FR.STATE_PENDING).alias("state"),
+                F.lit(rnd).alias("round_added"),
+            )
+        else:
+            new_rows = spark.createDataFrame([], schema=FR.FRONTIER_DDL)
+
+        transitions = fetched.select("url", F.col("fetch_state").alias("new_state")) \
+            .unionByName(blocked.select("url", F.lit(FR.STATE_BLOCKED).alias("new_state")))
+        frontier_next = (
+            frontier.join(transitions, "url", "left")
+            .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
+            .drop("new_state")
+            .unionByName(new_rows)
+        )
+
+        # --- commit the round ------------------------------------------------
+        from logtemplatecrawler_spark.plans.template_pipeline import TEMPLATE_COLUMNS
+        templates = templates.select(*TEMPLATE_COLUMNS).withColumn("round", F.lit(rnd))
+        rdir = _round_dir(cfg, rnd)
+        templates.write.mode("overwrite").parquet(os.path.join(rdir, "templates"))
+        frontier_next.write.mode("overwrite").parquet(os.path.join(rdir, "frontier"))
+        frontier = spark.read.parquet(os.path.join(rdir, "frontier"))
+
+        n_templates = spark.read.parquet(os.path.join(rdir, "templates")).count()
+        state_counts = {
+            r["state"]: r["count"]
+            for r in frontier.groupBy("state").count().collect()
+        }
+        n_new = int(new_rows.count()) if cfg.discover_links else 0
+        elapsed = time.monotonic() - t0
+        metrics = {
+            "round": rnd,
+            "popped": n_popped,
+            "robots_blocked": n_blocked,
+            "templates": n_templates,
+            "discovered_new": n_new,
+            "frontier_states": state_counts,
+            "elapsed_sec": round(elapsed, 3),
+            "urls_per_sec": round(n_popped / elapsed, 2) if elapsed > 0 else None,
+        }
+        with open(os.path.join(rdir, "metrics.json"), "w") as fh:
+            json.dump(metrics, fh)
+        with open(os.path.join(rdir, "MANIFEST.json"), "w") as fh:
+            json.dump({"round": rnd, "complete": True}, fh)
+        metrics_log.append(metrics)
+        fetched.unpersist()
+
+        if state_counts.get(FR.STATE_PENDING, 0) == 0:
+            break
+    return metrics_log

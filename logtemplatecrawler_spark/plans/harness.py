@@ -1,0 +1,687 @@
+"""Driver-harness query registry: SURVEY §2 operators + training-data ops.
+
+Every entry pairs a Spark DataFrame implementation with an ANSI-SQL oracle
+string DuckDB runs on the same parquet tables (views: region nation customer
+supplier part orders lineitem events documents embeddings).  Column names
+and types are aliased identically on both sides — the driver's comparator
+sorts columns by name and value-hashes rows.
+
+Determinism rules used throughout (both sides):
+* pseudo-sampling via modular arithmetic (``(key * 2654435761) % 100 < p``)
+  instead of engine RNGs (reference's unseeded random: SURVEY §2.5 O2/O5/O6);
+* windows always carry a total-order tie-break;
+* float aggregates rounded via ``round(x, N)`` before comparison;
+* portable 64-bit hashes via ``md5`` hex prefixes (identical in both engines).
+
+Queries with no SQL oracle (the template/crawl pipeline, LSH with custom
+plumbing) register ``sql=None`` → the driver records a rows-only check.
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Dict, Optional
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QUERIES: Dict[str, Callable[[SparkSession, str], DataFrame]] = {}
+ORACLES: Dict[str, str] = {}
+
+
+def _q(name: str, sql: Optional[str] = None):
+    def deco(fn):
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+# ---------------------------------------------------------------------------
+# §2.1/2.3 sources, joins, set ops
+# ---------------------------------------------------------------------------
+
+@_q("s10_export_union_sample", sql="""
+    SELECT o.o_orderkey AS orderkey, c.c_name AS cname
+    FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    WHERE c.c_mktsegment = 'BUILDING'
+    UNION
+    SELECT o_orderkey AS orderkey, 'sampled' AS cname
+    FROM orders WHERE (o_orderkey * 2654435761) % 10 < 3
+""")
+def s10_export_union_sample(spark, sf_dir):
+    """S10/J1/J5/O5: export join ∪ deterministic sample (export_query.sql:1-15).
+    The join broadcasts the small dimension (customer)."""
+    orders, customer = _t(spark, sf_dir, "orders"), _t(spark, sf_dir, "customer")
+    joined = (
+        orders.join(F.broadcast(customer), orders.o_custkey == customer.c_custkey)
+        .where(F.col("c_mktsegment") == "BUILDING")
+        .select(F.col("o_orderkey").alias("orderkey"), F.col("c_name").alias("cname"))
+    )
+    sampled = orders.where((F.col("o_orderkey") * 2654435761) % 10 < 3).select(
+        F.col("o_orderkey").alias("orderkey"), F.lit("sampled").alias("cname")
+    )
+    return joined.unionByName(sampled).dropDuplicates()
+
+
+@_q("j3_anti_join_negative_cache", sql="""
+    SELECT DISTINCT e.user_id AS user_id FROM events e
+    WHERE NOT EXISTS (
+      SELECT 1 FROM events x WHERE x.user_id = e.user_id AND x.event_type = 'error'
+    )
+""")
+def j3_anti_join(spark, sf_dir):
+    """J3/F11: existence anti-join (discarded-templates negative cache →
+    one shuffle instead of the reference's per-row SELECT loop)."""
+    events = _t(spark, sf_dir, "events")
+    err_users = events.where(F.col("event_type") == "error").select("user_id").distinct()
+    return events.select("user_id").distinct().join(err_users, "user_id", "left_anti")
+
+
+@_q("j4_union_merge_dedup", sql="""
+    SELECT doc_id, lang FROM documents WHERE lang = 'en'
+    UNION
+    SELECT doc_id, lang FROM documents WHERE source = 'src1'
+""")
+def j4_union_merge(spark, sf_dir):
+    """J4/J5: outer-merge accumulate ≡ unionByName + dropDuplicates."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "lang", "source")
+    a = docs.where(F.col("lang") == "en").select("doc_id", "lang")
+    b = docs.where(F.col("source") == "src1").select("doc_id", "lang")
+    return a.unionByName(b).dropDuplicates()
+
+
+# ---------------------------------------------------------------------------
+# §2.2 filters / predicates
+# ---------------------------------------------------------------------------
+
+@_q("f1_size_gate", sql="""
+    SELECT doc_id, n_chars,
+           CASE WHEN n_chars >= 256 THEN 'accepted' ELSE 'discarded' END AS gate
+    FROM documents
+""")
+def f1_size_gate(spark, sf_dir):
+    """F1: two-way admission split (operators.py:112-116) as one pass with a
+    gate column — a partitioned write then lands both sides without a second
+    scan."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", "n_chars",
+        F.when(F.col("n_chars") >= 256, "accepted").otherwise("discarded").alias("gate"),
+    )
+
+
+@_q("f2_quality_heuristic", sql="""
+    SELECT c_custkey FROM customer WHERE c_acctbal > 1000 AND c_nationkey < 10
+""")
+def f2_quality(spark, sf_dir):
+    """F2: stars/size popularity predicate (process-repository.py:115-116)."""
+    return _t(spark, sf_dir, "customer").where(
+        (F.col("c_acctbal") > 1000) & (F.col("c_nationkey") < 10)
+    ).select("c_custkey")
+
+
+@_q("f6_statement_prefilter", sql="""
+    SELECT doc_id FROM documents
+    WHERE NOT regexp_matches(text, '^.{0,5}$')
+      AND NOT regexp_matches(text, 'spark spark spark')
+""")
+def f6_prefilter(spark, sf_dir):
+    """F6: pre-parse regex drops (filtersettings.py:6-9).  The repeated-char
+    backreference lives in the pipeline tests (DuckDB/RE2 has no backrefs);
+    here a literal-run pattern stands in."""
+    return _t(spark, sf_dir, "documents").where(
+        ~F.col("text").rlike("^.{0,5}$") & ~F.col("text").rlike("spark spark spark")
+    ).select("doc_id")
+
+
+@_q("f8_validity_mask", sql="""
+    SELECT doc_id,
+           (length(text) > 14
+            OR NOT regexp_matches(text, '^[^a-wyzA-WYZ]+$')
+            OR NOT regexp_matches(text, '^\\s*(static|#include|#define|#if|#endif)')
+            OR NOT regexp_matches(text, '^\\s*(//|\\*)')) AS valid
+    FROM documents
+""")
+def f8_validity(spark, sf_dir):
+    """F8: the permissive OR-mask (templatefilter.py:12-21)."""
+    t = F.col("text")
+    valid = (
+        (F.length(t) > 14)
+        | ~t.rlike("^[^a-wyzA-WYZ]+$")
+        | ~t.rlike("^\\s*(static|#include|#define|#if|#endif)")
+        | ~t.rlike("^\\s*(//|\\*)")
+    )
+    return _t(spark, sf_dir, "documents").select("doc_id", valid.alias("valid"))
+
+
+# ---------------------------------------------------------------------------
+# §2.4 aggregations
+# ---------------------------------------------------------------------------
+
+@_q("a1_mode_majority_vote", sql="""
+    WITH counted AS (
+      SELECT user_id, event_type, count(*) AS cnt FROM events GROUP BY 1, 2
+    ), ranked AS (
+      SELECT user_id, event_type, cnt,
+             row_number() OVER (PARTITION BY user_id ORDER BY cnt DESC, event_type) AS rn
+      FROM counted
+    )
+    SELECT user_id, event_type AS top_type, cnt AS votes FROM ranked WHERE rn = 1
+""")
+def a1_mode(spark, sf_dir):
+    """A1: majority vote / mode with deterministic tie-break
+    (detector.py:28 — ``max(indicators, key=count)``)."""
+    events = _t(spark, sf_dir, "events")
+    counted = events.groupBy("user_id", "event_type").agg(F.count("*").alias("cnt"))
+    w = Window.partitionBy("user_id").orderBy(F.col("cnt").desc(), F.col("event_type"))
+    return (
+        counted.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", F.col("event_type").alias("top_type"), F.col("cnt").alias("votes"))
+    )
+
+
+@_q("a2_any_bool", sql="""
+    SELECT user_id,
+           max(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS has_error
+    FROM events GROUP BY user_id
+""")
+def a2_any(spark, sf_dir):
+    """A2: ANY(bool) per group (detector.py:24-28)."""
+    return _t(spark, sf_dir, "events").groupBy("user_id").agg(
+        F.max(F.when(F.col("event_type") == "error", 1).otherwise(0)).alias("has_error")
+    )
+
+
+@_q("a3_max_cursor", sql="SELECT max(event_id) AS max_cursor FROM events")
+def a3_max_cursor(spark, sf_dir):
+    """A3: checkpoint cursor = max key (operators.py:111)."""
+    return _t(spark, sf_dir, "events").agg(F.max("event_id").alias("max_cursor"))
+
+
+@_q("a4_stage_counts", sql="""
+    SELECT event_type, count(*) AS n, round(avg(value), 6) AS avg_value
+    FROM events GROUP BY event_type
+""")
+def a4_counts(spark, sf_dir):
+    """A4: per-stage dataset-size metrics (logparser/java.py:49-56) as one
+    grouped agg instead of repeated len() actions."""
+    return _t(spark, sf_dir, "events").groupBy("event_type").agg(
+        F.count("*").alias("n"), F.round(F.avg("value"), 6).alias("avg_value")
+    )
+
+
+@_q("a5_placeholder_count", sql="""
+    SELECT doc_id,
+           CAST((length(text) - length(replace(text, 'the', ''))) / 3 AS BIGINT) AS n_the
+    FROM documents
+""")
+def a5_substr_count(spark, sf_dir):
+    """A5: '{}' occurrence counting (formalizer.py:64-65) — native
+    length-difference arithmetic, no UDF."""
+    t = F.col("text")
+    n = ((F.length(t) - F.length(F.regexp_replace(t, "the", ""))) / 3).cast("bigint")
+    return _t(spark, sf_dir, "documents").select("doc_id", n.alias("n_the"))
+
+
+@_q("a6_latest_cursor_top1", sql="""
+    SELECT event_id, user_id FROM events
+    ORDER BY ts DESC, event_id DESC LIMIT 1
+""")
+def a6_latest(spark, sf_dir):
+    """A6: newest checkpoint row (operators.py:82-84)."""
+    return (
+        _t(spark, sf_dir, "events")
+        .orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select("event_id", "user_id")
+    )
+
+
+@_q("a7_keep_newest_n", sql="""
+    WITH ranked AS (
+      SELECT user_id, event_id,
+             row_number() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id FROM ranked WHERE rn <= 10
+""")
+def a7_keep_newest(spark, sf_dir):
+    """A7: keep-newest-10 rotation (postgres_db.sql:23-29)."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 10)
+        .select("user_id", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.5/2.6 sorts, top-k, sampling, windows
+# ---------------------------------------------------------------------------
+
+@_q("o1_sort_by_size_topk", sql="""
+    SELECT doc_id, n_chars FROM documents
+    ORDER BY n_chars DESC, doc_id LIMIT 50
+""")
+def o1_topk(spark, sf_dir):
+    """O1: order blobs by size desc (heuristicwalk.py:30) — Spark turns
+    ORDER BY+LIMIT into a TakeOrderedAndProject (no full sort)."""
+    return (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(50)
+        .select("doc_id", "n_chars")
+    )
+
+
+@_q("o2_top_pool_sample", sql="""
+    WITH pool AS (
+      SELECT doc_id, n_chars FROM documents ORDER BY n_chars DESC, doc_id LIMIT 100
+    )
+    SELECT doc_id, n_chars FROM pool WHERE (doc_id * 2654435761) % 100 < 40
+""")
+def o2_pool_sample(spark, sf_dir):
+    """O2: top-2k pool then sample k (crawler.py:52-56) — deterministic
+    hash-mod stands in for the reference's unseeded random.sample."""
+    pool = (
+        _t(spark, sf_dir, "documents")
+        .orderBy(F.col("n_chars").desc(), F.col("doc_id"))
+        .limit(100)
+    )
+    return pool.where((F.col("doc_id") * 2654435761) % 100 < 40).select("doc_id", "n_chars")
+
+
+@_q("w1_politeness_queue", sql="""
+    WITH ranked AS (
+      SELECT user_id, event_id, value,
+             row_number() OVER (PARTITION BY user_id ORDER BY value DESC, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_id, value FROM ranked WHERE rn <= 2
+""")
+def w1_politeness(spark, sf_dir):
+    """W1/W2/O4: the per-host windowed priority queue (user_id ↔ host,
+    value ↔ priority, budget 2) — the crawl scheduler's pop, relationally."""
+    w = Window.partitionBy("user_id").orderBy(F.col("value").desc(), F.col("event_id"))
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") <= 2)
+        .select("user_id", "event_id", "value")
+    )
+
+
+@_q("w3_dedup_keepfirst", sql="""
+    WITH ranked AS (
+      SELECT user_id, event_type, event_id, ts,
+             row_number() OVER (PARTITION BY user_id, event_type ORDER BY ts, event_id) AS rn
+      FROM events
+    )
+    SELECT user_id, event_type, event_id FROM ranked WHERE rn = 1
+""")
+def w3_dedup(spark, sf_dir):
+    """W3: UNIQUE-constraint keep-first dedup (postgres_db.sql:236-261)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy("ts", "event_id")
+    return (
+        _t(spark, sf_dir, "events")
+        .withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "event_type", "event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: dedup family
+# ---------------------------------------------------------------------------
+
+@_q("dedup_exact_hash", sql="""
+    SELECT md5(text) AS fp, min(doc_id) AS keeper, count(*) AS n
+    FROM documents GROUP BY md5(text)
+""")
+def dedup_exact(spark, sf_dir):
+    """Exact dedup: hash-groupBy, keep min doc_id per fingerprint."""
+    return _t(spark, sf_dir, "documents").groupBy(F.md5("text").alias("fp")).agg(
+        F.min("doc_id").alias("keeper"), F.count("*").alias("n")
+    )
+
+
+@_q("dedup_jaccard_words", sql="""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+      WHERE doc_id < 200
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+""")
+def dedup_jaccard(spark, sf_dir):
+    """Near-dup detection: word-set Jaccard ≥ 0.8 over a doc_id<200 slice
+    (bounded pair join; the scale path is minhash/LSH below)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a = words.alias("a")
+    b = words.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa = sizes.alias("sa")
+    sb = sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+# Portable 64-bit word hash: first 15 hex chars of md5 → BIGINT (fits 2^60).
+_MINHASH_P = 2147483647
+_MINHASH_COEF = [(2, 1), (3, 7), (5, 11), (7, 13), (11, 17), (13, 19), (17, 23), (19, 29)]
+
+
+def _minhash_sql_core() -> str:
+    mins = ",\n           ".join(
+        f"min(((hw % {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P}) AS mh{i}"
+        for i, (a, b) in enumerate(_MINHASH_COEF)
+    )
+    return f"""
+    WITH words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), hashed AS (
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hw FROM words
+    ), sigs AS (
+      SELECT doc_id,
+           {mins}
+      FROM hashed GROUP BY doc_id
+    )"""
+
+
+@_q("dedup_minhash_signatures", sql=_minhash_sql_core() + """
+    SELECT * FROM sigs
+""")
+def dedup_minhash(spark, sf_dir):
+    """MinHash signatures (8 permutations) over word shingles, portable
+    md5-derived hashes — the scale path for near-dup at 100 TB."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
+    hashed = words.select(
+        "doc_id",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hw"),
+    )
+    aggs = [
+        F.min(((F.col("hw") % _MINHASH_P) * a + b) % _MINHASH_P).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_COEF)
+    ]
+    return hashed.groupBy("doc_id").agg(*aggs)
+
+
+@_q("dedup_lsh_candidate_pairs", sql=_minhash_sql_core() + """
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND ((a.mh0 = b.mh0 AND a.mh1 = b.mh1)
+       OR (a.mh2 = b.mh2 AND a.mh3 = b.mh3)
+       OR (a.mh4 = b.mh4 AND a.mh5 = b.mh5)
+       OR (a.mh6 = b.mh6 AND a.mh7 = b.mh7))
+""")
+def dedup_lsh_pairs(spark, sf_dir):
+    """LSH banding (4 bands × 2 rows): equality self-join per band — each
+    band is a shuffle-join on a compact key, no quadratic pair scan."""
+    sigs = dedup_minhash(spark, sf_dir)
+    bands = []
+    for band in range(4):
+        k0, k1 = f"mh{2 * band}", f"mh{2 * band + 1}"
+        left = sigs.select(F.col("doc_id").alias("doc_a"),
+                           F.col(k0).alias("b0"), F.col(k1).alias("b1"))
+        right = sigs.select(F.col("doc_id").alias("doc_b"),
+                            F.col(k0).alias("b0"), F.col(k1).alias("b1"))
+        bands.append(
+            left.join(right, ["b0", "b1"]).where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+    out = bands[0]
+    for b in bands[1:]:
+        out = out.unionByName(b)
+    return out.distinct()
+
+
+@_q("dedup_simhash60")
+def dedup_simhash(spark, sf_dir):
+    """SimHash (60-bit) per doc: sign-sum of md5-derived word-hash bits,
+    weighted by term frequency.  60 bits keeps every intermediate inside a
+    signed bigint under ANSI arithmetic.  Rows-only check (64 per-bit
+    aggregates are not reasonable ANSI SQL); determinism pinned by
+    tests/test_harness.py."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    hashed = tf.select(
+        "doc_id", "tf",
+        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hw"),
+    )
+    # For each bit i: sum(tf * (bit set ? +1 : -1)); simhash bit i = sum > 0.
+    bit_terms = [
+        F.sum(
+            F.when(F.shiftright(F.col("hw"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
+            .otherwise(-F.col("tf"))
+        ).alias(f"s{i}")
+        for i in range(60)
+    ]
+    sums = hashed.groupBy("doc_id").agg(*bit_terms)
+    sim = F.lit(0).cast("bigint")
+    for i in range(60):
+        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("bigint")).otherwise(
+            F.lit(0).cast("bigint")
+        )
+        sim = sim + bit * F.lit(2 ** i).cast("bigint")
+    return sums.select("doc_id", sim.alias("simhash"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+@_q("ann_cosine_topk", sql="""
+    WITH q AS (
+      SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0
+    ), e AS (
+      SELECT vec_id, unnest(embedding) AS ev, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id <> 0
+    ), dots AS (
+      SELECT e.vec_id,
+             sum(CAST(e.ev AS DOUBLE) * CAST(q.qv AS DOUBLE)) AS dot,
+             sum(CAST(e.ev AS DOUBLE) * CAST(e.ev AS DOUBLE)) AS nn
+      FROM e JOIN q ON e.i = q.i GROUP BY e.vec_id
+    ), qn AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq FROM q)
+    SELECT vec_id, round(dot / sqrt(nn * (SELECT qq FROM qn)), 6) AS cosine
+    FROM dots
+    ORDER BY round(dot / sqrt(nn * (SELECT qq FROM qn)), 6) DESC, vec_id
+    LIMIT 20
+""")
+def ann_cosine_topk(spark, sf_dir):
+    """Brute-force cosine top-20 vs the vec_id=0 query vector.
+
+    The dot product stays native (posexplode + join + sum as double);
+    rounding to 6 decimals before ranking makes the comparison stable across
+    engines.  The scale path is `ann_lsh_hyperplane` below."""
+    emb = _t(spark, sf_dir, "embeddings")
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.posexplode("embedding").alias("i", "qv")
+    )
+    e = emb.where(F.col("vec_id") != 0).select(
+        "vec_id", F.posexplode("embedding").alias("i", "ev")
+    )
+    dots = (
+        e.join(q, "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("ev").cast("double") * F.col("qv").cast("double")).alias("dot"),
+            F.sum(F.col("ev").cast("double") * F.col("ev").cast("double")).alias("nn"),
+        )
+    )
+    qq = q.agg(F.sum(F.col("qv").cast("double") * F.col("qv").cast("double")).alias("qq"))
+    cos = F.round(F.col("dot") / F.sqrt(F.col("nn") * F.col("qq")), 6)
+    return (
+        dots.crossJoin(F.broadcast(qq))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(20)
+    )
+
+
+@_q("ann_lsh_hyperplane")
+def ann_lsh_hyperplane(spark, sf_dir):
+    """Random-hyperplane LSH bucketing (deterministic md5-seeded planes):
+    8-bit signature per vector → bucket id.  Bucket-joined search touches
+    only same-signature candidates — the IVF/LSH scale path.  Rows-only
+    check (plane generation is engine-side)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    dims = 64
+    planes = []
+    for p in range(8):
+        coefs = []
+        for d in range(dims):
+            h = F.conv(F.substring(F.md5(F.lit(f"plane{p}|{d}")), 1, 8), 16, 10).cast("long")
+            coefs.append((h % 2001 - 1000).cast("double") / 1000.0)
+        dot = None
+        for d, c in enumerate(coefs):
+            term = F.col("embedding").getItem(d).cast("double") * c
+            dot = term if dot is None else dot + term
+        planes.append(F.when(dot > 0, F.lit(1)).otherwise(F.lit(0)) * (2 ** p))
+    sig = planes[0]
+    for p in planes[1:]:
+        sig = sig + p
+    return emb.select("vec_id", sig.cast("int").alias("bucket"))
+
+
+# ---------------------------------------------------------------------------
+# Training-data pipeline: text analysis
+# ---------------------------------------------------------------------------
+
+@_q("text_token_count", sql="""
+    SELECT doc_id,
+           length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+    FROM documents
+""")
+def text_token_count(spark, sf_dir):
+    """Whitespace token counting via portable length arithmetic."""
+    t = F.col("text")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
+        .cast("bigint").alias("n_tokens"),
+    )
+
+
+@_q("text_quality_score", sql="""
+    SELECT doc_id,
+           round(CAST(n_chars AS DOUBLE) /
+                 (length(text) - length(replace(text, ' ', '')) + 1), 6) AS avg_token_len,
+           CAST(length(text) - length(replace(text, 'the', '')) AS BIGINT) / 3
+             AS stopword_hits
+    FROM documents
+""")
+def text_quality(spark, sf_dir):
+    """Quality scoring: avg token length + stopword hits (native arithmetic)."""
+    t = F.col("text")
+    n_tokens = F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    stop = ((F.length(t) - F.length(F.regexp_replace(t, "the", ""))).cast("bigint") / 3)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.round(F.col("n_chars").cast("double") / n_tokens, 6).alias("avg_token_len"),
+        stop.alias("stopword_hits"),
+    )
+
+
+@_q("text_lang_id", sql="""
+    SELECT doc_id, lang AS labeled,
+           CASE WHEN length(text) - length(replace(text, 'the', '')) > 0
+                THEN 'en' ELSE 'unk' END AS predicted
+    FROM documents
+""")
+def text_lang_id(spark, sf_dir):
+    """Heuristic language id: stopword-presence vote (deterministic; the
+    point is the plumbing — a real n-gram model slots into the same shape)."""
+    t = F.col("text")
+    pred = F.when(
+        F.length(t) - F.length(F.regexp_replace(t, "the", "")) > 0, "en"
+    ).otherwise("unk")
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.col("lang").alias("labeled"), pred.alias("predicted")
+    )
+
+
+@_q("text_fingerprint", sql="""
+    SELECT doc_id, md5(lower(text)) AS fp, length(text) AS n FROM documents
+""")
+def text_fingerprint(spark, sf_dir):
+    """Document fingerprinting: normalized content hash."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", F.md5(F.lower("text")).alias("fp"),
+        F.length("text").cast("bigint").alias("n"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Multimodal plumbing: opaque binary columns through mapInPandas
+# ---------------------------------------------------------------------------
+
+@_q("mm_binary_meta", sql="""
+    SELECT doc_id,
+           octet_length(encode(text)) AS nbytes,
+           substr(md5(text), 1, 8) AS magic,
+           octet_length(encode(text)) % 640 AS fake_width
+    FROM documents
+""")
+def mm_binary_meta(spark, sf_dir):
+    """Multimodal column plumbing: documents.text encoded to an opaque
+    binary payload column, then metadata extracted in a mapInPandas stage
+    (Arrow batches of binary).  The 'decode' is a deterministic fake — real
+    image/audio decoding slots into `_decode_batch` (libs not present in
+    this environment); the Spark-side schema/partitioning/batching is real
+    and the SQL oracle checks it end-to-end."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload"),
+        F.md5("text").alias("_md5"),
+    )
+
+    def _decode_batch(batches):
+        import pandas as pd
+        for pdf in batches:
+            nbytes = pdf["payload"].map(len)
+            yield pd.DataFrame({
+                "doc_id": pdf["doc_id"],
+                "nbytes": nbytes.astype("int64"),
+                "magic": pdf["_md5"].str.slice(0, 8),
+                "fake_width": (nbytes % 640).astype("int64"),
+            })
+
+    return docs.mapInPandas(
+        _decode_batch, schema="doc_id bigint, nbytes bigint, magic string, fake_width bigint"
+    )
+
+
+def registry():
+    return dict(QUERIES), dict(ORACLES)

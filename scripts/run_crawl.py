@@ -1,0 +1,73 @@
+#!/usr/bin/env python
+"""spark-submit entry point: run (or resume) a crawl against a pages table.
+
+Usage:
+    spark-submit --py-files pkg.zip scripts/run_crawl.py \
+        --pages /path/to/pages.parquet --checkpoint /path/to/ckpt \
+        [--seeds /path/to/seeds.parquet] [--robots /path/to/robots.parquet] \
+        [--budget 2] [--rounds 100] [--fixture-pages 400]
+
+Without --pages, deterministic fixture pages/seeds/robots (seed=42) are
+generated in-session — handy for smoke runs and benchmarks.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--pages")
+    ap.add_argument("--seeds")
+    ap.add_argument("--robots")
+    ap.add_argument("--checkpoint", required=True)
+    ap.add_argument("--budget", type=int, default=2)
+    ap.add_argument("--rounds", type=int, default=100)
+    ap.add_argument("--fixture-pages", type=int, default=400)
+    ap.add_argument("--master", default=None)
+    args = ap.parse_args()
+
+    from logtemplatecrawler_spark.session import build_session
+    from logtemplatecrawler_spark.crawl.scheduler import CrawlConfig, run_crawl
+    from logtemplatecrawler_spark.sources import fixtures
+
+    spark = build_session("crawl", master=args.master)
+    if args.pages:
+        pages = spark.read.parquet(args.pages)
+        seeds = spark.read.parquet(args.seeds)
+        robots = (
+            spark.read.parquet(args.robots)
+            if args.robots
+            else spark.createDataFrame([], schema=fixtures.ROBOTS_DDL)
+        )
+    else:
+        rows = fixtures.generate_pages(args.fixture_pages, seed=42)
+        pages = fixtures.pages_df(spark, args.fixture_pages, seed=42)
+        seeds = fixtures.seeds_df(spark, rows, seed=42)
+        robots = fixtures.robots_df(spark, rows, seed=42)
+
+    cfg = CrawlConfig(
+        checkpoint_dir=args.checkpoint,
+        host_budget=args.budget,
+        max_rounds=args.rounds,
+    )
+    metrics = run_crawl(spark, pages, seeds, robots, cfg)
+    for m in metrics:
+        print(json.dumps(m))
+    total_popped = sum(m["popped"] for m in metrics)
+    total_templates = sum(m["templates"] for m in metrics)
+    total_elapsed = sum(m["elapsed_sec"] for m in metrics)
+    print(json.dumps({
+        "rounds": len(metrics),
+        "total_popped": total_popped,
+        "total_templates": total_templates,
+        "total_elapsed_sec": round(total_elapsed, 3),
+        "frontier_urls_per_sec": round(total_popped / total_elapsed, 2) if total_elapsed else None,
+    }))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

@@ -1,0 +1,246 @@
+"""Crawl scheduler invariants: ordering, URL-seen set, resume, robots, bloom.
+
+The oracle is a sequential pure-Python simulator implementing the documented
+round semantics (same seed list, same politeness budget — the north-rule
+comparison contract).
+"""
+
+import os
+import re
+from collections import defaultdict
+
+import pytest
+
+from logtemplatecrawler_spark.core.pipeline import dedup_rows, process_page
+from logtemplatecrawler_spark.crawl.frontier import canonicalize_url_py
+from logtemplatecrawler_spark.crawl.scheduler import (
+    OUTLINK_RE,
+    CrawlConfig,
+    last_complete_round,
+    load_frontier,
+    read_all_templates,
+    run_crawl,
+)
+from logtemplatecrawler_spark.crawl.seen import HashBloom
+from logtemplatecrawler_spark.sources.fixtures import (
+    generate_pages,
+    generate_robots,
+    generate_seeds,
+    pages_df,
+    robots_df,
+    seeds_df,
+)
+
+N_PAGES = 150
+BUDGET = 2
+MAX_ROUNDS = 12
+
+
+def oracle_crawl(pages, seeds, robots, budget=BUDGET, max_rounds=MAX_ROUNDS,
+                 min_page_bytes=255):
+    """Sequential simulator of the documented round semantics."""
+    page_by_url = {canonicalize_url_py(p["url"]): p for p in pages}
+    robots_by_host = defaultdict(list)
+    for r in robots:
+        robots_by_host[r["host"]].append(r["disallow_prefix"])
+
+    frontier = {}  # url -> dict(priority, state, depth)
+    for s in seeds:
+        u = canonicalize_url_py(s["url"])
+        if u in frontier:
+            frontier[u]["priority"] = max(frontier[u]["priority"], s["priority"])
+        else:
+            frontier[u] = {"priority": s["priority"], "state": "pending", "depth": 0}
+
+    seen_template, seen_parsed = set(), set()
+    pop_order = []          # [(round, url)]
+    all_templates = []
+    link_re = re.compile(OUTLINK_RE)
+
+    for rnd in range(max_rounds):
+        pending = [u for u, v in frontier.items() if v["state"] == "pending"]
+        blocked, eligible = [], []
+        for u in pending:
+            host = u.split("/")[2]
+            path = "/" + u.split("/", 3)[3] if u.count("/") >= 3 else "/"
+            if any(path.startswith(p) for p in robots_by_host.get(host, [])):
+                blocked.append(u)
+            else:
+                eligible.append(u)
+        by_host = defaultdict(list)
+        for u in eligible:
+            by_host[u.split("/")[2]].append(u)
+        popped = []
+        for host, urls in by_host.items():
+            urls.sort(key=lambda u: (-frontier[u]["priority"], u))
+            popped.extend(urls[:budget])
+        if not popped and not blocked:
+            break
+        for u in blocked:
+            frontier[u]["state"] = "blocked"
+
+        round_rows = []
+        fetched_pages = []
+        for u in popped:
+            page = page_by_url.get(u)
+            if page is None:
+                frontier[u]["state"] = "missing"
+            elif len(page["html"]) <= min_page_bytes:
+                frontier[u]["state"] = "too_small"
+            else:
+                frontier[u]["state"] = "done"
+                fetched_pages.append(page)
+                round_rows.extend(process_page(u, page["text"], page["lang"]))
+        round_rows = dedup_rows(round_rows)
+        kept = []
+        for r in round_rows:
+            if r["template"] in seen_template or r["parsed_template"] in seen_parsed:
+                continue
+            kept.append(r)
+        for r in kept:
+            seen_template.add(r["template"])
+            seen_parsed.add(r["parsed_template"])
+            r["round"] = rnd
+        all_templates.extend(kept)
+
+        for page in fetched_pages:
+            for link in link_re.findall(page["text"]):
+                u = canonicalize_url_py(link)
+                if u not in frontier:
+                    frontier[u] = {"priority": 0, "state": "pending", "depth": rnd + 1}
+        pop_order.extend((rnd, u) for u in sorted(popped))
+        if not any(v["state"] == "pending" for v in frontier.values()):
+            break
+    return frontier, pop_order, all_templates
+
+
+@pytest.fixture(scope="module")
+def corpus():
+    pages = generate_pages(N_PAGES, seed=42)
+    return pages, generate_seeds(pages, seed=42), generate_robots(pages, seed=42)
+
+
+@pytest.fixture(scope="module")
+def crawl_result(spark, corpus, tmp_path_factory):
+    pages, seeds, robots = corpus
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt"))
+    cfg = CrawlConfig(checkpoint_dir=ckpt, host_budget=BUDGET,
+                      max_rounds=MAX_ROUNDS)
+    metrics = run_crawl(
+        spark, pages_df(spark, N_PAGES, seed=42),
+        seeds_df(spark, pages, seed=42), robots_df(spark, pages, seed=42), cfg
+    )
+    return cfg, metrics
+
+
+def test_final_state_matches_oracle(spark, corpus, crawl_result):
+    pages, seeds, robots = corpus
+    cfg, metrics = crawl_result
+    oracle_frontier, _, _ = oracle_crawl(pages, seeds, robots)
+
+    last = last_complete_round(cfg)
+    got = {
+        r["url"]: (r["state"], r["priority"])
+        for r in load_frontier(spark, cfg, last).collect()
+    }
+    want = {u: (v["state"], v["priority"]) for u, v in oracle_frontier.items()}
+    assert got == want  # URL-seen set AND states match exactly
+
+
+def test_crawl_ordering_matches_oracle(spark, corpus, crawl_result):
+    """(round, url) pop order — the north-rule crawl-ordering invariant.
+    Popped = rows whose state left 'pending' that round; recovered from the
+    per-round frontier snapshots."""
+    pages, seeds, robots = corpus
+    cfg, _ = crawl_result
+    _, oracle_order, _ = oracle_crawl(pages, seeds, robots)
+
+    got_order = []
+    last = last_complete_round(cfg)
+    prev_states = {}
+    for rnd in range(last + 1):
+        snap = {r["url"]: r["state"] for r in load_frontier(spark, cfg, rnd).collect()}
+        for url, state in snap.items():
+            was = prev_states.get(url, "pending")
+            if was == "pending" and state in ("done", "missing", "too_small"):
+                got_order.append((rnd, url))
+        prev_states = snap
+    assert sorted(got_order) == sorted(oracle_order)
+
+
+def test_templates_match_oracle(spark, corpus, crawl_result):
+    pages, seeds, robots = corpus
+    cfg, _ = crawl_result
+    _, _, oracle_templates = oracle_crawl(pages, seeds, robots)
+
+    got = read_all_templates(spark, cfg).select(
+        "url", "file", "stmt_idx", "raw", "parsed_template", "template", "round"
+    ).collect()
+    got_set = {(r["url"], r["stmt_idx"], r["raw"], r["parsed_template"],
+                r["template"], r["round"]) for r in got}
+    want_set = {(r["url"], r["stmt_idx"], r["raw"], r["parsed_template"],
+                 r["template"], r["round"]) for r in oracle_templates}
+    assert got_set == want_set
+
+
+def test_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, crawl_result):
+    """Kill after 3 rounds; resume; final state equals the full run."""
+    pages, seeds, robots = corpus
+    full_cfg, _ = crawl_result
+
+    ckpt = str(tmp_path_factory.mktemp("crawl_resume"))
+    part_cfg = CrawlConfig(checkpoint_dir=ckpt, host_budget=BUDGET, max_rounds=3)
+    run_crawl(spark, pages_df(spark, N_PAGES, seed=42),
+              seeds_df(spark, pages, seed=42), robots_df(spark, pages, seed=42), part_cfg)
+    assert last_complete_round(part_cfg) == 2
+
+    resume_cfg = CrawlConfig(checkpoint_dir=ckpt, host_budget=BUDGET, max_rounds=MAX_ROUNDS)
+    run_crawl(spark, pages_df(spark, N_PAGES, seed=42),
+              seeds_df(spark, pages, seed=42), robots_df(spark, pages, seed=42), resume_cfg)
+
+    last_full = last_complete_round(full_cfg)
+    last_resumed = last_complete_round(resume_cfg)
+    assert last_resumed == last_full
+    a = {(r["url"], r["state"]) for r in load_frontier(spark, full_cfg, last_full).collect()}
+    b = {(r["url"], r["state"]) for r in load_frontier(spark, resume_cfg, last_resumed).collect()}
+    assert a == b
+    ta = {(r["url"], r["stmt_idx"], r["template"])
+          for r in read_all_templates(spark, full_cfg).collect()}
+    tb = {(r["url"], r["stmt_idx"], r["template"])
+          for r in read_all_templates(spark, resume_cfg).collect()}
+    assert ta == tb
+
+
+def test_robots_blocked_never_fetched(spark, corpus, crawl_result):
+    pages, seeds, robots = corpus
+    cfg, _ = crawl_result
+    fully_blocked = {r["host"] for r in robots if r["disallow_prefix"] == "/"}
+    if not fully_blocked:
+        pytest.skip("fixture produced no fully-blocked hosts")
+    last = last_complete_round(cfg)
+    rows = load_frontier(spark, cfg, last).collect()
+    for r in rows:
+        if r["host"] in fully_blocked:
+            assert r["state"] in ("blocked", "pending"), (r["url"], r["state"])
+            assert r["state"] != "done"
+
+
+def test_bloom_exactness():
+    hashes = [(i * 2654435761) % (1 << 64) for i in range(2000)]
+    bloom = HashBloom(hashes)
+    assert all(bloom.might_contain(h) for h in hashes)  # no false negatives
+    other = [(i * 0x9E3779B97F4A7C15 + 12345) % (1 << 64) for i in range(5000, 9000)]
+    fp = sum(bloom.might_contain(h) for h in other if h not in set(hashes))
+    assert fp / 4000 < 0.05  # reasonable false-positive rate
+
+
+def test_canonicalize_twins():
+    cases = [
+        "https://Host01.Example.org/src/A.java#frag",
+        "http://h.example.org:80/x",
+        "https://h.example.org:443/",
+        "https://h.example.org",
+        "HTTPS://H.EXAMPLE.ORG/Path/File.C",
+    ]
+    for c in cases:
+        assert canonicalize_url_py(c) == canonicalize_url_py(canonicalize_url_py(c))
