@@ -1,0 +1,119 @@
+#!/usr/bin/env python
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+  {"metric": "headline_suite_sec", "value": N, "unit": "sec",
+   "queries": {...per-query seconds...}, "sf": <sf>, ...extras}
+
+Headline set = the flagship template pipeline over a parquet pages corpus
+(the engine's real workload: scan → native filters → Arrow UDFs → dedup),
+one crawl scheduling round shape (politeness pop), and the heavy relational/
+training-data operators from the harness registry.
+
+Each query executes to completion via the noop sink (full pipeline, no
+driver collect).  Extras report pages/sec and statements/sec for the
+pipeline — the metrics BASELINE.md tracks.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import time
+
+
+def _ensure_bench_pages(spark, n_pages: int, path: str):
+    marker = os.path.join(path, "_BUILT")
+    if not os.path.exists(marker):
+        from logtemplatecrawler_spark.sources.fixtures import write_pages_parquet
+        os.makedirs(path, exist_ok=True)
+        # pyarrow writer (multi-file dir) — generation happens once, off the clock.
+        write_pages_parquet(os.path.join(path, "pages"), n_pages, seed=42, n_files=32)
+        with open(marker, "w") as fh:
+            fh.write("ok")
+    return spark.read.parquet(os.path.join(path, "pages"))
+
+
+def _run(df) -> float:
+    t0 = time.monotonic()
+    df.write.format("noop").mode("overwrite").save()
+    return time.monotonic() - t0
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
+    n_pages = int(os.environ.get("BENCH_PAGES", "3000"))
+
+    import sys
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from logtemplatecrawler_spark.session import build_session
+    from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
+    from logtemplatecrawler_spark.plans import harness
+    from logtemplatecrawler_spark.crawl.politeness import pop_per_host
+    from logtemplatecrawler_spark.functions.columns import url_host
+    from pyspark.sql import functions as F
+
+    spark = build_session("bench", master=f"local[{cpus}]",
+                          shuffle_partitions=int(cpus))
+    spark.sparkContext.setLogLevel("ERROR")
+
+    pages_path = os.environ.get("BENCH_PAGES_DIR", f"/tmp/bench_pages_{n_pages}")
+    pages = _ensure_bench_pages(spark, n_pages, pages_path)
+
+    timings = {}
+
+    # warm the JVM/Python workers off the clock
+    pages.limit(8).count()
+
+    t_all = time.monotonic()
+
+    # 1. flagship: full template pipeline over the pages corpus
+    timings["template_pipeline"] = _run(extract_templates(pages, dedup=True))
+
+    # 2. crawl pop shape: per-host politeness window over the page corpus
+    frontier_like = pages.select(
+        "url", url_host(F.col("url")).alias("host"),
+        (F.xxhash64("url") % 1000).alias("priority"),
+        F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").alias("salt"),
+    )
+    timings["politeness_pop"] = _run(pop_per_host(frontier_like, budget=2))
+
+    # 3. heavy relational / training-data operators at the sf dir
+    headline = [
+        "s10_export_union_sample",
+        "a1_mode_majority_vote",
+        "w1_politeness_queue",
+        "dedup_exact_hash",
+        "dedup_minhash_signatures",
+        "dedup_lsh_candidate_pairs",
+        "ann_cosine_topk",
+        "text_quality_score",
+        "mm_binary_meta",
+    ]
+    for name in headline:
+        timings[name] = _run(harness.QUERIES[name](spark, sf_dir))
+
+    total = time.monotonic() - t_all
+
+    # pipeline throughput extras
+    n_stmt = extract_templates(pages, dedup=False).count()
+    out = {
+        "metric": "headline_suite_sec",
+        "value": round(total, 3),
+        "unit": "sec",
+        "queries": {k: round(v, 3) for k, v in timings.items()},
+        "sf": sf,
+        "bench_pages": n_pages,
+        "pages_per_sec": round(n_pages / timings["template_pipeline"], 2),
+        "statements_parsed": n_stmt,
+        "statements_per_sec": round(n_stmt / timings["template_pipeline"], 2),
+        "cpus": int(cpus),
+    }
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

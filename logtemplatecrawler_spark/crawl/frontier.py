@@ -21,7 +21,7 @@ from pyspark.sql import functions as F
 
 FRONTIER_DDL = (
     "url string, url_hash bigint, host string, salt int, priority int, "
-    "depth int, state string, round_added int"
+    "depth int, state string, round_added int, updated_round int"
 )
 
 STATE_PENDING = "pending"
@@ -87,4 +87,5 @@ def frontier_from_seeds(seeds: DataFrame, n_salts: int = 8) -> DataFrame:
         F.lit(0).alias("depth"),
         F.lit(STATE_PENDING).alias("state"),
         F.lit(0).alias("round_added"),
+        F.lit(0).alias("updated_round"),
     )

@@ -59,6 +59,10 @@ class CrawlConfig:
     discover_links: bool = True
     discovered_priority: int = 0
     use_bloom: bool = True
+    # EP1 fidelity: admit seeds in pages of this size per round (the
+    # reference's paged GraphQL search + cursor checkpoint, S1/S9/A3);
+    # None = admit the whole seed list at round 0.
+    seeds_per_round: Optional[int] = None
     extra_confs: Dict[str, str] = field(default_factory=dict)
 
 
@@ -109,9 +113,25 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
               robots: DataFrame, cfg: CrawlConfig) -> List[Dict]:
     """Run (or resume) the crawl to completion; returns per-round metrics."""
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
+    all_seeds = FR.frontier_from_seeds(seeds, n_salts=cfg.n_salts)
+    if cfg.seeds_per_round is not None:
+        # Deterministic "search ranking" order: priority desc, url asc —
+        # row_number is the cursor (S1 pagination / A3 max-cursor analog).
+        from pyspark.sql import Window
+
+        rank_w = Window.orderBy(F.col("priority").desc(), F.col("url").asc())
+        all_seeds = all_seeds.withColumn("_seed_rank", F.row_number().over(rank_w))
+        all_seeds = all_seeds.persist()
+    _n_seeds_total = all_seeds.count() if cfg.seeds_per_round is not None else 0
+
     resumed = last_complete_round(cfg)
     if resumed is None:
-        frontier = FR.frontier_from_seeds(seeds, n_salts=cfg.n_salts)
+        if cfg.seeds_per_round is None:
+            frontier = all_seeds
+        else:
+            frontier = all_seeds.where(
+                F.col("_seed_rank") <= cfg.seeds_per_round
+            ).drop("_seed_rank")
         next_round = 0
     else:
         frontier = load_frontier(spark, cfg, resumed)
@@ -125,6 +145,21 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     metrics_log: List[Dict] = []
     for rnd in range(next_round, cfg.max_rounds):
         t0 = time.monotonic()
+        seed_cursor = (rnd + 1) * cfg.seeds_per_round if cfg.seeds_per_round else None
+        if cfg.seeds_per_round is not None and rnd > 0:
+            # Admit the next seed page (cursor = rnd * page size).  Seeds
+            # already present (e.g. discovered as outlinks) are skipped —
+            # the same idempotent-admission anti-join as discovery (J3).
+            lo, hi = rnd * cfg.seeds_per_round, (rnd + 1) * cfg.seeds_per_round
+            page = all_seeds.where(
+                (F.col("_seed_rank") > lo) & (F.col("_seed_rank") <= hi)
+            ).drop("_seed_rank")
+            page = page.join(frontier.select("url"), "url", "left_anti")
+            page = page.select(
+                "url", "url_hash", "host", "salt", "priority", "depth",
+                "state", F.lit(rnd).alias("round_added"), F.lit(rnd).alias("updated_round"),
+            )
+            frontier = frontier.unionByName(page)
         pending = frontier.where(F.col("state") == FR.STATE_PENDING)
 
         gated = with_robots_blocked(pending, robots)
@@ -146,7 +181,11 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         fetched = fetched.persist()
         n_blocked = blocked.count()
         n_popped = fetched.count()
-        if n_popped == 0 and n_blocked == 0:
+        seeds_remain = (
+            cfg.seeds_per_round is not None and seed_cursor is not None
+            and seed_cursor < _n_seeds_total
+        )
+        if n_popped == 0 and n_blocked == 0 and not seeds_remain:
             fetched.unpersist()
             break
 
@@ -181,14 +220,22 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 F.lit(rnd + 1).alias("depth"),
                 F.lit(FR.STATE_PENDING).alias("state"),
                 F.lit(rnd).alias("round_added"),
+                F.lit(rnd).alias("updated_round"),
             )
         else:
             new_rows = spark.createDataFrame([], schema=FR.FRONTIER_DDL)
 
+        # State transitions carry lineage: updated_round records when a row
+        # last changed state (per-partition history = frontier snapshots ×
+        # (salt, updated_round)).
         transitions = fetched.select("url", F.col("fetch_state").alias("new_state")) \
             .unionByName(blocked.select("url", F.lit(FR.STATE_BLOCKED).alias("new_state")))
         frontier_next = (
             frontier.join(transitions, "url", "left")
+            .withColumn(
+                "updated_round",
+                F.when(F.col("new_state").isNotNull(), F.lit(rnd)).otherwise(F.col("updated_round")),
+            )
             .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
             .drop("new_state")
             .unionByName(new_rows)
@@ -208,6 +255,12 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             for r in frontier.groupBy("state").count().collect()
         }
         n_new = int(new_rows.count()) if cfg.discover_links else 0
+        # Per-partition (salt) pop metrics: lineage of where this round's
+        # work landed across the salted partitioning.
+        per_salt = {
+            str(r["salt"]): r["count"]
+            for r in popped.groupBy("salt").count().collect()
+        }
         elapsed = time.monotonic() - t0
         metrics = {
             "round": rnd,
@@ -216,6 +269,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             "templates": n_templates,
             "discovered_new": n_new,
             "frontier_states": state_counts,
+            "popped_per_salt": per_salt,
+            "seed_cursor": seed_cursor,
             "elapsed_sec": round(elapsed, 3),
             "urls_per_sec": round(n_popped / elapsed, 2) if elapsed > 0 else None,
         }
@@ -226,6 +281,6 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         metrics_log.append(metrics)
         fetched.unpersist()
 
-        if state_counts.get(FR.STATE_PENDING, 0) == 0:
+        if state_counts.get(FR.STATE_PENDING, 0) == 0 and not seeds_remain:
             break
     return metrics_log

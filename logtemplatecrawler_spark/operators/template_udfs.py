@@ -80,3 +80,12 @@ def parse_and_formalize(raw: pd.Series, lang: pd.Series, framework: pd.Series) -
     return pd.DataFrame(
         {"parsed_template": templates, "arguments": arguments, "template": formals}
     )
+
+
+# The function IS deterministic; the marker only pins it in place.  Without
+# it Catalyst pushes the downstream null-filter below the struct-field
+# projection and evaluates the UDF TWICE (one ArrowEvalPython feeding the
+# Filter, another feeding the Project) — verified via executedPlan.  Marking
+# it non-deterministic forbids that duplication; our native pre-filters are
+# already placed below it explicitly, so no optimization is lost.
+parse_and_formalize = parse_and_formalize.asNondeterministic()

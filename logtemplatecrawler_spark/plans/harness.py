@@ -401,15 +401,24 @@ _MINHASH_COEF = [(2, 1), (3, 7), (5, 11), (7, 13), (11, 17), (13, 19), (17, 23),
 
 
 def _minhash_sql_core() -> str:
+    # Shingles are word BIGRAMS: the fixture vocabulary is tiny (~31 words),
+    # so unigram word-sets collide across most documents and LSH buckets
+    # degenerate; bigrams restore discriminative sets.  1-based list
+    # indexing in both engines (DuckDB ws[i], Spark element_at).
     mins = ",\n           ".join(
         f"min(((hw % {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P}) AS mh{i}"
         for i, (a, b) in enumerate(_MINHASH_COEF)
     )
     return f"""
-    WITH words AS (
-      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), shingles AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, array_length(ws)),
+                                   i -> ws[i] || ' ' || ws[i+1])) AS w
+      FROM toks WHERE array_length(ws) >= 2
     ), hashed AS (
-      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hw FROM words
+      SELECT doc_id, ('0x' || substr(md5(w), 1, 15))::BIGINT AS hw FROM shingles
     ), sigs AS (
       SELECT doc_id,
            {mins}
@@ -421,11 +430,22 @@ def _minhash_sql_core() -> str:
     SELECT * FROM sigs
 """)
 def dedup_minhash(spark, sf_dir):
-    """MinHash signatures (8 permutations) over word shingles, portable
-    md5-derived hashes — the scale path for near-dup at 100 TB."""
+    """MinHash signatures (8 permutations) over word-bigram shingles,
+    portable md5-derived hashes — the scale path for near-dup at 100 TB."""
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w")).distinct()
-    hashed = words.select(
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= 2
+    )
+    shingles = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws)-1),"
+                " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
+            )
+        ).alias("w"),
+    ).distinct()
+    hashed = shingles.select(
         "doc_id",
         F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hw"),
     )
@@ -447,8 +467,10 @@ def dedup_minhash(spark, sf_dir):
 """)
 def dedup_lsh_pairs(spark, sf_dir):
     """LSH banding (4 bands × 2 rows): equality self-join per band — each
-    band is a shuffle-join on a compact key, no quadratic pair scan."""
-    sigs = dedup_minhash(spark, sf_dir)
+    band is a shuffle-join on a compact key, no quadratic pair scan.
+    Signatures are persisted: 4 bands × 2 join sides would otherwise
+    recompute the minhash aggregation 8×."""
+    sigs = dedup_minhash(spark, sf_dir).persist()
     bands = []
     for band in range(4):
         k0, k1 = f"mh{2 * band}", f"mh{2 * band + 1}"
@@ -680,6 +702,187 @@ def mm_binary_meta(spark, sf_dir):
 
     return docs.mapInPandas(
         _decode_batch, schema="doc_id bigint, nbytes bigint, magic string, fake_width bigint"
+    )
+
+
+# ---------------------------------------------------------------------------
+# §2.2 F4/F5 url-path predicates, §2.5 O3, §2.7 U15
+# ---------------------------------------------------------------------------
+
+@_q("f4_f5_url_path_filters", sql="""
+    WITH urls AS (
+      SELECT doc_id,
+             'https://h.example.org/' ||
+             CASE WHEN doc_id % 5 = 0 THEN 'tests' WHEN doc_id % 5 = 1 THEN 'docs'
+                  WHEN doc_id % 5 = 2 THEN 'src' WHEN doc_id % 5 = 3 THEN 'core'
+                  ELSE 'examples' END ||
+             '/F' || doc_id ||
+             CASE WHEN doc_id % 3 = 0 THEN '.java' WHEN doc_id % 3 = 1 THEN '.c'
+                  ELSE '.md' END AS url
+      FROM documents
+    )
+    SELECT doc_id, url,
+           NOT regexp_matches(url, '/(docs?|tests?|testing|tmp|scripts?|examples)/')
+             AS dir_ok,
+           regexp_matches(url, '\\.(java|c)$') AS ext_ok,
+           regexp_matches(url, '/(src|source|java|libs|core|app)/') AS priority_dir
+    FROM urls
+""")
+def f4_f5_url_filters(spark, sf_dir):
+    """F4/F5: directory exclude/priority + extension predicates
+    (heuristicwalk.py:8-9,35-40,82-83; patterns.py:1-6) over urls derived
+    deterministically from doc ids."""
+    d = F.col("doc_id")
+    top = (
+        F.when(d % 5 == 0, "tests").when(d % 5 == 1, "docs")
+        .when(d % 5 == 2, "src").when(d % 5 == 3, "core").otherwise("examples")
+    )
+    ext = F.when(d % 3 == 0, ".java").when(d % 3 == 1, ".c").otherwise(".md")
+    url = F.concat(F.lit("https://h.example.org/"), top, F.lit("/F"), d, ext)
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id", url.alias("url"),
+        (~url.rlike("/(docs?|tests?|testing|tmp|scripts?|examples)/")).alias("dir_ok"),
+        url.rlike("\\.(java|c)$").alias("ext_ok"),
+        url.rlike("/(src|source|java|libs|core|app)/").alias("priority_dir"),
+    )
+
+
+@_q("o3_per_group_sample", sql="""
+    SELECT source, doc_id FROM documents
+    WHERE (doc_id * 2654435761) % 10 < 3
+""")
+def o3_per_group_sample(spark, sf_dir):
+    """O3: random subtree sampling (heuristicwalk.py:73-80) — deterministic
+    hash-mod per-group sample."""
+    return _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") * 2654435761) % 10 < 3
+    ).select("source", "doc_id")
+
+
+@_q("u15_cursor_codec", sql="""
+    SELECT event_id,
+           base64(encode('cursor:' || event_id)) AS cursor_b64,
+           CAST(regexp_extract(decode(from_base64(base64(encode('cursor:' || event_id)))),
+                               'cursor:([0-9]+)', 1) AS BIGINT) AS decoded
+    FROM events WHERE event_id < 100
+""")
+def u15_cursor_codec(spark, sf_dir):
+    """U15: the GitHub-cursor base64 codec (crawler.py:182-185,
+    operators.py:89-94) — native base64/unbase64 + regexp_extract."""
+    cur = F.concat(F.lit("cursor:"), F.col("event_id"))
+    b64 = F.base64(F.encode(cur, "utf-8"))
+    decoded = F.regexp_extract(
+        F.decode(F.unbase64(b64), "utf-8"), "cursor:([0-9]+)", 1
+    ).cast("bigint")
+    return (
+        _t(spark, sf_dir, "events")
+        .where(F.col("event_id") < 100)
+        .select("event_id", b64.alias("cursor_b64"), decoded.alias("decoded"))
+    )
+
+
+@_q("u14_decode_roundtrip")
+def u14_decode_roundtrip(spark, sf_dir):
+    """U14: encoding-fallback decode (crawler.py:105-116) — text → binary →
+    decode_html pandas UDF; rows-only (the fallback chain is engine logic;
+    non-utf8 inputs are pinned by tests/test_operators.py)."""
+    from logtemplatecrawler_spark.operators.decode import decode_html
+
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("html"), "text"
+    )
+    return docs.select(
+        "doc_id",
+        (decode_html("html") == F.col("text")).alias("roundtrip_ok"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Similarity: IVF coarse quantizer + embedding near-dup pairs
+# ---------------------------------------------------------------------------
+
+@_q("ann_ivf_assign", sql="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id % 8 AS k, i, avg(x) AS c FROM flat GROUP BY 1, 2
+    ), dists AS (
+      SELECT f.vec_id, c.k, sum((f.x - c.c) * (f.x - c.c)) AS d2
+      FROM flat f JOIN cents c ON f.i = c.i
+      GROUP BY 1, 2
+    ), ranked AS (
+      SELECT vec_id, k, row_number() OVER (
+        PARTITION BY vec_id ORDER BY round(d2, 6), k) AS rn
+      FROM dists
+    )
+    SELECT vec_id, k AS centroid FROM ranked WHERE rn = 1
+""")
+def ann_ivf_assign(spark, sf_dir):
+    """IVF coarse quantization: 8 deterministic centroids (mean of vectors
+    with vec_id%8==k), each vector assigned to its nearest centroid — the
+    coarse-partition scale path for ANN (probe 1-2 cells instead of all
+    vectors).  Distances rounded before ranking for cross-engine stability."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    cents = flat.groupBy((F.col("vec_id") % 8).alias("k"), "i").agg(
+        F.avg("x").alias("c")
+    )
+    dists = (
+        flat.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), F.col("k"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("k").alias("centroid"))
+    )
+
+
+@_q("dedup_embedding_cosine_pairs", sql="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings WHERE vec_id < 300
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+    ), dots AS (
+      SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
+      FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
+      GROUP BY 1, 2
+    )
+    SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+    FROM dots
+    JOIN norms na ON na.vec_id = vec_a
+    JOIN norms nb ON nb.vec_id = vec_b
+    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
+""")
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ τ; τ=0.35 here — the fixture embeddings are near-orthogonal random vectors, so a production 0.95 threshold would select nothing to check) over a bounded slice —
+    the exactness oracle for LSH/IVF candidate generation."""
+    emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    norms = flat.groupBy("vec_id").agg(F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm"))
+    a, b = flat.alias("a"), flat.alias("b")
+    dots = (
+        a.join(b, (F.col("a.i") == F.col("b.i")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .agg(F.sum(F.col("a.x") * F.col("b.x")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.round(F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")), 6)
+    return (
+        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
+        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
+        .where(cos >= 0.35)
+        .select("vec_a", "vec_b", cos.alias("cosine"))
     )
 
 

@@ -156,17 +156,25 @@ def _python_file(rng: random.Random) -> str:
     )
 
 
+_ZIPF_CDF_CACHE: Dict[int, List[float]] = {}
+
+
 def _zipf_host(rng: random.Random, n_hosts: int) -> str:
-    """Zipf(1.2)-ish host pick: heavy head, long tail — real crawl skew."""
-    r = rng.random()
-    # Inverse-CDF sampling over ranks 1..n with weight 1/rank^1.2.
-    total = sum(1.0 / (i ** 1.2) for i in range(1, n_hosts + 1))
-    acc = 0.0
-    for i in range(1, n_hosts + 1):
-        acc += (1.0 / (i ** 1.2)) / total
-        if r <= acc:
-            return f"host{i:03d}.example.org"
-    return f"host{n_hosts:03d}.example.org"
+    """Zipf(1.2)-ish host pick: heavy head, long tail — real crawl skew.
+    Inverse-CDF over precomputed cumulative weights (bisect)."""
+    import bisect
+    cdf = _ZIPF_CDF_CACHE.get(n_hosts)
+    if cdf is None:
+        weights = [1.0 / (i ** 1.2) for i in range(1, n_hosts + 1)]
+        total = sum(weights)
+        acc = 0.0
+        cdf = []
+        for w in weights:
+            acc += w / total
+            cdf.append(acc)
+        _ZIPF_CDF_CACHE[n_hosts] = cdf
+    i = bisect.bisect_left(cdf, rng.random()) + 1
+    return f"host{min(i, n_hosts):03d}.example.org"
 
 
 def generate_pages(n_pages: int = 400, seed: int = 42,
@@ -270,16 +278,32 @@ def robots_df(spark, pages: List[Dict], seed: int = 42):
         spark.createDataFrame([], schema=ROBOTS_DDL)
 
 
-def write_pages_parquet(path: str, n_pages: int = 400, seed: int = 42) -> None:
-    """Write fixture pages with pyarrow (no Spark session needed)."""
+def write_pages_parquet(path: str, n_pages: int = 400, seed: int = 42,
+                        n_files: int = 16) -> None:
+    """Write fixture pages as a parquet DIRECTORY of ``n_files`` part files
+    with pyarrow (no Spark session needed).
+
+    Multiple files matter: a single-file single-row-group corpus gives the
+    scan exactly one input split, capping parallelism regardless of cores.
+    """
+    import os
+
     import pyarrow as pa
     import pyarrow.parquet as pq
+
     rows = generate_pages(n_pages, seed)
-    table = pa.table({
-        "url": [r["url"] for r in rows],
-        "warc_ts": pa.array([r["warc_ts"] for r in rows], type=pa.timestamp("us")),
-        "html": pa.array([r["html"] for r in rows], type=pa.binary()),
-        "text": [r["text"] for r in rows],
-        "lang": [r["lang"] for r in rows],
-    })
-    pq.write_table(table, path)
+    os.makedirs(path, exist_ok=True)
+    n_files = max(1, min(n_files, len(rows) or 1))
+    chunk = (len(rows) + n_files - 1) // n_files
+    for fi in range(n_files):
+        part = rows[fi * chunk:(fi + 1) * chunk]
+        if not part:
+            break
+        table = pa.table({
+            "url": [r["url"] for r in part],
+            "warc_ts": pa.array([r["warc_ts"] for r in part], type=pa.timestamp("us")),
+            "html": pa.array([r["html"] for r in part], type=pa.binary()),
+            "text": [r["text"] for r in part],
+            "lang": [r["lang"] for r in part],
+        })
+        pq.write_table(table, os.path.join(path, f"part-{fi:05d}.parquet"))

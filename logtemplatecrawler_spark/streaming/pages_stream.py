@@ -1,0 +1,57 @@
+"""Incremental template extraction over a growing pages directory.
+
+``readStream`` file source → the same ``extract_templates`` plan via
+``foreachBatch`` → parquet appends.  ``availableNow`` drains the backlog and
+stops (the micro-batch analog of one scheduler round); a long-running
+deployment drops the trigger and processes files as they land.
+
+Dedup note: the window-based UNIQUE dedup is a batch construct; in streaming
+mode each micro-batch is deduped against previously *committed* output via
+the same negative-cache anti-join the round scheduler uses (F11/J3).  For
+exactly-once output the sink relies on the checkpoint + append atomicity of
+the file sink pattern.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+from logtemplatecrawler_spark.plans.template_pipeline import (
+    TEMPLATE_COLUMNS,
+    extract_templates,
+)
+from logtemplatecrawler_spark.sources.fixtures import PAGES_DDL
+
+
+def stream_templates(spark: SparkSession, pages_dir: str, out_dir: str,
+                     checkpoint_dir: str, max_files_per_trigger: int = 8,
+                     dedup_across_batches: bool = True) -> None:
+    """Drain all page files under ``pages_dir`` through the pipeline."""
+    src = (
+        spark.readStream.schema(PAGES_DDL)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(pages_dir)
+    )
+
+    def _process(batch_df, batch_id: int) -> None:
+        templates = extract_templates(batch_df, dedup=dedup_across_batches)
+        if dedup_across_batches and os.path.isdir(out_dir) and any(
+            f.endswith(".parquet") for f in os.listdir(out_dir)
+        ):
+            prev = batch_df.sparkSession.read.parquet(out_dir)
+            templates = templates.join(
+                prev.select("template").distinct(), "template", "left_anti"
+            ).join(
+                prev.select("parsed_template").distinct(), "parsed_template", "left_anti"
+            )
+        templates.select(*TEMPLATE_COLUMNS).write.mode("append").parquet(out_dir)
+
+    query = (
+        src.writeStream.foreachBatch(_process)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    query.awaitTermination()

@@ -37,20 +37,31 @@ MAX_ROUNDS = 12
 
 
 def oracle_crawl(pages, seeds, robots, budget=BUDGET, max_rounds=MAX_ROUNDS,
-                 min_page_bytes=255):
+                 min_page_bytes=255, seeds_per_round=None):
     """Sequential simulator of the documented round semantics."""
     page_by_url = {canonicalize_url_py(p["url"]): p for p in pages}
     robots_by_host = defaultdict(list)
     for r in robots:
         robots_by_host[r["host"]].append(r["disallow_prefix"])
 
-    frontier = {}  # url -> dict(priority, state, depth)
+    # collapse duplicate seed urls to max priority, then rank them
+    seed_prio = {}
     for s in seeds:
         u = canonicalize_url_py(s["url"])
-        if u in frontier:
-            frontier[u]["priority"] = max(frontier[u]["priority"], s["priority"])
-        else:
-            frontier[u] = {"priority": s["priority"], "state": "pending", "depth": 0}
+        seed_prio[u] = max(seed_prio.get(u, -1), s["priority"])
+    ranked_seeds = sorted(seed_prio.items(), key=lambda kv: (-kv[1], kv[0]))
+
+    frontier = {}  # url -> dict(priority, state, depth)
+
+    def admit_seeds(lo, hi):
+        for u, prio in ranked_seeds[lo:hi]:
+            if u not in frontier:
+                frontier[u] = {"priority": prio, "state": "pending", "depth": 0}
+
+    if seeds_per_round is None:
+        admit_seeds(0, len(ranked_seeds))
+    else:
+        admit_seeds(0, seeds_per_round)
 
     seen_template, seen_parsed = set(), set()
     pop_order = []          # [(round, url)]
@@ -58,6 +69,12 @@ def oracle_crawl(pages, seeds, robots, budget=BUDGET, max_rounds=MAX_ROUNDS,
     link_re = re.compile(OUTLINK_RE)
 
     for rnd in range(max_rounds):
+        if seeds_per_round is not None and rnd > 0:
+            admit_seeds(rnd * seeds_per_round, (rnd + 1) * seeds_per_round)
+        seeds_remain = (
+            seeds_per_round is not None
+            and (rnd + 1) * seeds_per_round < len(ranked_seeds)
+        )
         pending = [u for u, v in frontier.items() if v["state"] == "pending"]
         blocked, eligible = [], []
         for u in pending:
@@ -74,7 +91,7 @@ def oracle_crawl(pages, seeds, robots, budget=BUDGET, max_rounds=MAX_ROUNDS,
         for host, urls in by_host.items():
             urls.sort(key=lambda u: (-frontier[u]["priority"], u))
             popped.extend(urls[:budget])
-        if not popped and not blocked:
+        if not popped and not blocked and not seeds_remain:
             break
         for u in blocked:
             frontier[u]["state"] = "blocked"
@@ -109,7 +126,7 @@ def oracle_crawl(pages, seeds, robots, budget=BUDGET, max_rounds=MAX_ROUNDS,
                 if u not in frontier:
                     frontier[u] = {"priority": 0, "state": "pending", "depth": rnd + 1}
         pop_order.extend((rnd, u) for u in sorted(popped))
-        if not any(v["state"] == "pending" for v in frontier.values()):
+        if not any(v["state"] == "pending" for v in frontier.values()) and not seeds_remain:
             break
     return frontier, pop_order, all_templates
 
@@ -223,6 +240,25 @@ def test_robots_blocked_never_fetched(spark, corpus, crawl_result):
         if r["host"] in fully_blocked:
             assert r["state"] in ("blocked", "pending"), (r["url"], r["state"])
             assert r["state"] != "done"
+
+
+def test_seed_paging_matches_oracle(spark, corpus, tmp_path_factory):
+    """EP1: paged seed admission (cursor) — final state matches the oracle."""
+    pages, seeds, robots = corpus
+    ckpt = str(tmp_path_factory.mktemp("crawl_paged"))
+    cfg = CrawlConfig(checkpoint_dir=ckpt, host_budget=BUDGET,
+                      max_rounds=MAX_ROUNDS, seeds_per_round=10)
+    metrics = run_crawl(
+        spark, pages_df(spark, N_PAGES, seed=42),
+        seeds_df(spark, pages, seed=42), robots_df(spark, pages, seed=42), cfg
+    )
+    assert metrics[0]["seed_cursor"] == 10
+    oracle_frontier, _, _ = oracle_crawl(pages, seeds, robots, seeds_per_round=10)
+    last = last_complete_round(cfg)
+    got = {r["url"]: (r["state"], r["priority"])
+           for r in load_frontier(spark, cfg, last).collect()}
+    want = {u: (v["state"], v["priority"]) for u, v in oracle_frontier.items()}
+    assert got == want
 
 
 def test_bloom_exactness():

@@ -51,6 +51,20 @@ def test_pipeline_yields_templates_from_fixtures():
     assert c_rows, "C pages must contribute templates"
 
 
+def test_distributed_equals_local(spark):
+    from logtemplatecrawler_spark.sources.distributed_fixtures import distributed_pages
+
+    local = generate_pages(120, seed=42)
+    dist = distributed_pages(spark, 120, seed=42, partitions=4).collect()
+    got = sorted(
+        (r["url"], r["warc_ts"], bytes(r["html"]), r["text"], r["lang"]) for r in dist
+    )
+    want = sorted(
+        (r["url"], r["warc_ts"], r["html"], r["text"], r["lang"]) for r in local
+    )
+    assert got == want
+
+
 def test_seeds_and_robots():
     pages = generate_pages(200, seed=42)
     seeds = generate_seeds(pages, seed=42)
