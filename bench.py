@@ -23,7 +23,7 @@ import time
 
 
 def _ensure_bench_pages(spark, n_pages: int, path: str):
-    marker = os.path.join(path, "_BUILT")
+    marker = os.path.join(path, "_BUILT_V2")
     if not os.path.exists(marker):
         from logtemplatecrawler_spark.sources.fixtures import write_pages_parquet
         os.makedirs(path, exist_ok=True)
