@@ -250,17 +250,28 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         frontier = spark.read.parquet(os.path.join(rdir, "frontier"))
 
         n_templates = spark.read.parquet(os.path.join(rdir, "templates")).count()
-        state_counts = {
-            r["state"]: r["count"]
-            for r in frontier.groupBy("state").count().collect()
-        }
-        n_new = int(new_rows.count()) if cfg.discover_links else 0
-        # Per-partition (salt) pop metrics: lineage of where this round's
-        # work landed across the salted partitioning.
-        per_salt = {
-            str(r["salt"]): r["count"]
-            for r in popped.groupBy("salt").count().collect()
-        }
+        # ONE stats job over the committed snapshot derives everything else —
+        # recounting `new_rows`/`popped` directly would re-execute the whole
+        # discovery anti-join / politeness window a second time.
+        stats = (
+            frontier.groupBy(
+                "state", "salt",
+                (F.col("updated_round") == rnd).alias("touched"),
+                (F.col("round_added") == rnd).alias("added_now"),
+            ).count().collect()
+        )
+        state_counts: Dict[str, int] = {}
+        per_salt: Dict[str, int] = {}
+        n_new = 0
+        for r in stats:
+            state_counts[r["state"]] = state_counts.get(r["state"], 0) + r["count"]
+            if r["touched"] and r["state"] in (
+                FR.STATE_DONE, FR.STATE_MISSING, FR.STATE_TOO_SMALL
+            ):
+                per_salt[str(r["salt"])] = per_salt.get(str(r["salt"]), 0) + r["count"]
+            if r["added_now"] and r["state"] == FR.STATE_PENDING:
+                # discovery admissions (+ this round's seed page, if paging)
+                n_new += r["count"]
         elapsed = time.monotonic() - t0
         metrics = {
             "round": rnd,
