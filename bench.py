@@ -44,7 +44,7 @@ def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     sf = float(sf_dir.rstrip("/").rsplit("sf", 1)[-1]) if "sf" in sf_dir else None
-    n_pages = int(os.environ.get("BENCH_PAGES", "3000"))
+    n_pages = int(os.environ.get("BENCH_PAGES", "10000"))
 
     import sys
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))

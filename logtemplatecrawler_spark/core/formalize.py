@@ -30,6 +30,7 @@ single sanctioned deviation knob.
 from __future__ import annotations
 
 import zlib
+from functools import lru_cache
 from typing import List, Optional, Tuple
 
 # tokentypes.py:12-30.  Order matters twice: candidate collection iterates in
@@ -94,7 +95,20 @@ def segment_template(template: str) -> List[str]:
     return out
 
 
-def _choose_placeholder(arg: str, slot_idx: int, candidates: List[str]) -> str:
+@lru_cache(maxsize=65536)
+def _candidates_for(arg_low: str) -> Tuple[str, ...]:
+    """Candidate placeholder types for a lowercased argument name — pure
+    function of the text, memoized (argument names repeat heavily)."""
+    out = []
+    for type_name, keywords in TOKEN_TYPES:
+        for keyword in keywords:
+            if arg_low.find(keyword) >= 0:
+                out.append(type_name)
+                break
+    return tuple(out)
+
+
+def _choose_placeholder(arg: str, slot_idx: int, candidates) -> str:
     """Deterministic stand-in for ``random.choice`` — see module docstring."""
     key = f"{arg}|{slot_idx}".encode("utf-8")
     return candidates[zlib.crc32(key) % len(candidates)]
@@ -113,13 +127,7 @@ def match_tokens(segments: List[str], args: List[str]) -> str:
     segments = list(segments)
     slot_positions = [i for i, seg in enumerate(segments) if seg == "{}"]
     for i, arg in enumerate(args):
-        arg_low = arg.lower()
-        candidates = []
-        for type_name, keywords in TOKEN_TYPES:
-            for keyword in keywords:
-                if arg_low.find(keyword) >= 0:
-                    candidates.append(type_name)
-                    break
+        candidates = _candidates_for(arg.lower())
         if candidates:
             chosen = _choose_placeholder(arg, i, candidates)
             segments[slot_positions[i]] = "{" + chosen + "}"

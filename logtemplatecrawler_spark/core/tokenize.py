@@ -34,6 +34,29 @@ _VAR_RE = re.compile(r"[^.+*|^/%=\&\-<>!;,(){}[\]]")
 _DIGIT_RE = re.compile(r"\d")
 _UNARY_RE = re.compile(r"^(\+\+|-|--|!)$")
 
+# Hot path: the lexer classifies every character, and a per-char re.search
+# is ~10× slower than set membership.  The ASCII classification tables are
+# derived FROM the regexes above (so they cannot drift); non-ASCII chars
+# fall back to the regex — behavior stays exactly equivalent.
+_WS_ASCII = frozenset(chr(c) for c in range(128) if _WS_RE.search(chr(c)))
+_OP_ASCII = frozenset(chr(c) for c in range(128) if _OP_RE.search(chr(c)))
+_PUNC_ASCII = frozenset(chr(c) for c in range(128) if _PUNC_RE.search(chr(c)))
+_VAR_ASCII = frozenset(chr(c) for c in range(128) if _VAR_RE.search(chr(c)))
+_DIGIT_ASCII = frozenset(chr(c) for c in range(128) if _DIGIT_RE.search(chr(c)))
+
+
+def _classify_sets(pattern: re.Pattern, ascii_set: frozenset):
+    def check(ch: str) -> bool:
+        return ch in ascii_set if ch < "\x80" else bool(pattern.search(ch))
+    return check
+
+
+_is_ws = _classify_sets(_WS_RE, _WS_ASCII)
+_is_op = _classify_sets(_OP_RE, _OP_ASCII)
+_is_punc = _classify_sets(_PUNC_RE, _PUNC_ASCII)
+_is_var = _classify_sets(_VAR_RE, _VAR_ASCII)
+_is_digit = _classify_sets(_DIGIT_RE, _DIGIT_ASCII)
+
 Token = Tuple[str, str]
 
 
@@ -61,12 +84,12 @@ class TokenStream:
     def _char_eof(self) -> bool:
         return self.char_pos >= len(self.source)
 
-    def _take_while(self, pattern: re.Pattern) -> str:
+    def _take_while(self, check) -> str:
         start = self.char_pos
         s = self.source
         n = len(s)
         pos = start
-        while pos < n and pattern.search(s[pos]):
+        while pos < n and check(s[pos]):
             pos += 1
         self.char_pos = pos
         return s[start:pos]
@@ -87,21 +110,21 @@ class TokenStream:
 
     # -- token-level interface ---------------------------------------------
     def _lex(self) -> Optional[Token]:
-        self._take_while(_WS_RE)
+        self._take_while(_is_ws)
         if self._char_eof():
             return None
         ch = self.source[self.char_pos]
         if ch == '"':
             return "str", self._take_string_literal()
-        if _PUNC_RE.search(ch):
+        if _is_punc(ch):
             self.char_pos += 1
             return "punc", ch
-        if _OP_RE.search(ch):
-            return "op", self._take_while(_OP_RE)
-        if _DIGIT_RE.match(ch):
-            return "num", self._take_while(_DIGIT_RE)
-        if _VAR_RE.search(ch):
-            return "var", self._take_while(_VAR_RE)
+        if _is_op(ch):
+            return "op", self._take_while(_is_op)
+        if _is_digit(ch):
+            return "num", self._take_while(_is_digit)
+        if _is_var(ch):
+            return "var", self._take_while(_is_var)
         raise ValueError(f"Can't handle character {ch} [offset {self.char_pos}]")
 
     def peek(self) -> Optional[Token]:

@@ -43,6 +43,7 @@ def build_session(app_name: str = "logtemplatecrawler-spark",
     max_partition_bytes = max_partition_bytes or os.environ.get(
         "SPARK_GRAFT_MAX_PARTITION_BYTES", "4m"
     )
+    arrow_batch_rows = int(os.environ.get("SPARK_GRAFT_ARROW_BATCH", arrow_batch_rows))
     builder = (
         SparkSession.builder.appName(app_name)
         .master(master)
