@@ -108,20 +108,20 @@ def _c_statement(rng: random.Random) -> str:
 
 
 def _java_file(rng: random.Random, framework: str, class_name: str,
-               outlinks: List[str]) -> str:
+               outlinks: List[str], methods=(1, 3), stmts=(1, 4)) -> str:
     lines = [_JAVA_IMPORTS[framework]]
     lines.append(f"public class {class_name} {{")
     lines.append("    private static final Logger log = LoggerFactory.getLogger();")
     for link in outlinks:
         lines.append(f"    // see {link}")
-    n_methods = rng.randint(1, 3)
+    n_methods = rng.randint(*methods)
     for m in range(n_methods):
         lines.append(f"    public void run{m}(int count, String userName) {{")
         if rng.random() < 0.3:
             lines.append("        // preparing the work queue")
         if rng.random() < 0.2:
             lines.append("        @SuppressWarnings")
-        for _ in range(rng.randint(1, 4)):
+        for _ in range(rng.randint(*stmts)):
             lines.append(_java_statement(rng, framework))
         lines.append("    }")
     lines.append("}")
@@ -129,7 +129,8 @@ def _java_file(rng: random.Random, framework: str, class_name: str,
     return "\n".join(lines)
 
 
-def _c_file(rng: random.Random, outlinks: List[str]) -> str:
+def _c_file(rng: random.Random, outlinks: List[str],
+            methods=(1, 3), stmts=(1, 4)) -> str:
     lines = ["#include <stdio.h>", "#include <linux/kernel.h>", ""]
     for link in outlinks:
         lines.append(f"/* see {link} */")
@@ -137,11 +138,11 @@ def _c_file(rng: random.Random, outlinks: List[str]) -> str:
     # to the java detector): 'warning'/'info'/'log' substrings anywhere hit
     # the unanchored utillogger statement rule.
     lines.append("/* logging helpers - warning paths included */")
-    n_funcs = rng.randint(1, 3)
+    n_funcs = rng.randint(*methods)
     for f in range(n_funcs):
         lines.append(f"static int handler{f}(void) {{")
         lines.append("    int ret = 0;")
-        for _ in range(rng.randint(1, 4)):
+        for _ in range(rng.randint(*stmts)):
             lines.append(_c_statement(rng))
         lines.append("    return ret;")
         lines.append("}")
@@ -178,8 +179,14 @@ def _zipf_host(rng: random.Random, n_hosts: int) -> str:
 
 
 def generate_pages(n_pages: int = 400, seed: int = 42,
-                   n_hosts: Optional[int] = None) -> List[Dict]:
-    """Deterministic pages rows: url, warc_ts, html, text, lang."""
+                   n_hosts: Optional[int] = None,
+                   methods=(1, 3), stmts=(1, 4)) -> List[Dict]:
+    """Deterministic pages rows: url, warc_ts, html, text, lang.
+
+    ``methods``/``stmts`` control page density (functions per file ×
+    statements per function).  Defaults give small test pages; benchmark
+    corpora use denser pages matching realistic source-file sizes.
+    """
     rng = random.Random(seed)
     n_hosts = n_hosts or max(8, n_pages // 20)
     rows: List[Dict] = []
@@ -203,9 +210,10 @@ def generate_pages(n_pages: int = 400, seed: int = 42,
         outlinks = [urls[rng_page.randrange(n_pages)] for _ in range(n_links)]
         if lang == "java":
             framework = rng_page.choice(["slf4j", "slf4j", "log4j", "utillogger", "unknown"])
-            text = _java_file(rng_page, framework, f"File{i:05d}", outlinks)
+            text = _java_file(rng_page, framework, f"File{i:05d}", outlinks,
+                              methods=methods, stmts=stmts)
         elif lang == "c":
-            text = _c_file(rng_page, outlinks)
+            text = _c_file(rng_page, outlinks, methods=methods, stmts=stmts)
         elif lang == "python":
             text = _python_file(rng_page)
         else:
@@ -279,7 +287,7 @@ def robots_df(spark, pages: List[Dict], seed: int = 42):
 
 
 def write_pages_parquet(path: str, n_pages: int = 400, seed: int = 42,
-                        n_files: int = 16) -> None:
+                        n_files: int = 16, methods=(1, 3), stmts=(1, 4)) -> None:
     """Write fixture pages as a parquet DIRECTORY of ``n_files`` part files
     with pyarrow (no Spark session needed).
 
@@ -291,7 +299,7 @@ def write_pages_parquet(path: str, n_pages: int = 400, seed: int = 42,
     import pyarrow as pa
     import pyarrow.parquet as pq
 
-    rows = generate_pages(n_pages, seed)
+    rows = generate_pages(n_pages, seed, methods=methods, stmts=stmts)
     os.makedirs(path, exist_ok=True)
     n_files = max(1, min(n_files, len(rows) or 1))
     chunk = (len(rows) + n_files - 1) // n_files

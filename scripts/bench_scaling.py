@@ -122,18 +122,26 @@ def main() -> None:
     ap.add_argument("--small", type=int, default=8)
     ap.add_argument("--big", type=int, default=32)
     ap.add_argument("--repeats", type=int, default=3)
+    ap.add_argument("--dense", action="store_true",
+                    help="realistic-size source pages (8-16 functions × 3-6 "
+                         "statements) instead of the small test pages — "
+                         "raises per-page CPU so the parallel fraction "
+                         "dominates per-job fixed costs")
     ap.add_argument("--out", default=None)
     args = ap.parse_args()
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
-    pages_dir = os.path.join(tempfile.gettempdir(), f"scaling_pages_{args.pages}")
+    density = ((8, 16), (3, 6)) if args.dense else ((1, 3), (1, 4))
+    tag = "dense_" if args.dense else ""
+    pages_dir = os.path.join(tempfile.gettempdir(), f"scaling_pages_{tag}{args.pages}")
     pages_path = os.path.join(pages_dir, "pages")
     if not os.path.exists(pages_path):
         os.makedirs(pages_dir, exist_ok=True)
         if args.pages <= 120_000:
             from logtemplatecrawler_spark.sources.fixtures import write_pages_parquet
-            write_pages_parquet(pages_path, args.pages, seed=42, n_files=64)
+            write_pages_parquet(pages_path, args.pages, seed=42, n_files=64,
+                                methods=density[0], stmts=density[1])
         else:
             # big corpora: synthesize in Spark (sources/distributed_fixtures)
             from logtemplatecrawler_spark.session import build_session
