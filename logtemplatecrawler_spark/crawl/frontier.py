@@ -33,8 +33,15 @@ STATE_TOO_SMALL = "too_small"
 
 def canonicalize_url(url: Column) -> Column:
     """Native URL canonicalization: drop the fragment, lowercase the
-    scheme://host authority, drop a default :80/:443 port, strip one
-    trailing slash from a bare authority.
+    scheme://host authority, drop a default :80/:443 port, strip ALL
+    trailing slashes.
+
+    Must be IDEMPOTENT — discovered outlinks are canonicalized once at
+    harvest and again inside :func:`with_frontier_keys`, so a second
+    application must be a no-op or the frontier key diverges from the pages
+    table's (ADVICE r01: ``/$`` stripped one slash per application, so
+    ``…//`` URLs fetched as 'missing').  Property-tested in
+    tests/test_crawl.py.
 
     Twin: :func:`canonicalize_url_py` (used by the oracle simulator);
     parity asserted in tests/test_crawl.py.
@@ -44,7 +51,7 @@ def canonicalize_url(url: Column) -> Column:
     authority = F.regexp_replace(authority, ":(80|443)$", "")
     rest = F.regexp_replace(no_frag, "^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*", "")
     joined = F.concat(authority, rest)
-    return F.regexp_replace(joined, "/$", "")
+    return F.regexp_replace(joined, "/+$", "")
 
 
 def canonicalize_url_py(url: str) -> str:
@@ -57,7 +64,7 @@ def canonicalize_url_py(url: str) -> str:
         joined = authority + rest
     else:
         joined = no_frag
-    return re.sub(r"/$", "", joined)
+    return re.sub(r"/+$", "", joined)
 
 
 def with_frontier_keys(df: DataFrame, url_col: str = "url", n_salts: int = 8) -> DataFrame:

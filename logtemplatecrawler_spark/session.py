@@ -36,7 +36,7 @@ def build_session(app_name: str = "logtemplatecrawler-spark",
     _export_package_to_workers()
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
     master = master or f"local[{cpus}]"
-    shuffle_partitions = shuffle_partitions or int(cpus) if str(cpus).isdigit() else 32
+    shuffle_partitions = shuffle_partitions or (int(cpus) if str(cpus).isdigit() else 32)
     # Pages are CPU-heavy per input byte (Arrow UDF extract/parse): small
     # scan splits keep every core busy at local test scale.  At warehouse
     # scale (TB inputs) the 128m default is right — override via env.

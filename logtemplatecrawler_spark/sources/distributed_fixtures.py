@@ -43,7 +43,8 @@ def _assignments(n_pages: int, seed: int, n_hosts: int | None):
 
 def distributed_pages(spark: SparkSession, n_pages: int = 100_000, seed: int = 42,
                       n_hosts: int | None = None,
-                      partitions: int | None = None) -> DataFrame:
+                      partitions: int | None = None,
+                      methods=(1, 3), stmts=(1, 4)) -> DataFrame:
     urls, langs = _assignments(n_pages, seed, n_hosts)
     sc = spark.sparkContext
     b_urls = sc.broadcast(urls)
@@ -67,9 +68,11 @@ def distributed_pages(spark: SparkSession, n_pages: int = 100_000, seed: int = 4
                 if lang == "java":
                     framework = rng_page.choice(
                         ["slf4j", "slf4j", "log4j", "utillogger", "unknown"])
-                    text = FX._java_file(rng_page, framework, f"File{i:05d}", outlinks)
+                    text = FX._java_file(rng_page, framework, f"File{i:05d}",
+                                         outlinks, methods=methods, stmts=stmts)
                 elif lang == "c":
-                    text = FX._c_file(rng_page, outlinks)
+                    text = FX._c_file(rng_page, outlinks,
+                                      methods=methods, stmts=stmts)
                 elif lang == "python":
                     text = FX._python_file(rng_page)
                 else:
@@ -87,6 +90,8 @@ def distributed_pages(spark: SparkSession, n_pages: int = 100_000, seed: int = 4
 
 
 def write_distributed_pages(spark: SparkSession, path: str, n_pages: int,
-                            seed: int = 42, partitions: int | None = None) -> None:
-    distributed_pages(spark, n_pages, seed, partitions=partitions) \
+                            seed: int = 42, partitions: int | None = None,
+                            methods=(1, 3), stmts=(1, 4)) -> None:
+    distributed_pages(spark, n_pages, seed, partitions=partitions,
+                      methods=methods, stmts=stmts) \
         .write.mode("overwrite").parquet(path)

@@ -7,9 +7,16 @@ deployment drops the trigger and processes files as they land.
 
 Dedup note: the window-based UNIQUE dedup is a batch construct; in streaming
 mode each micro-batch is deduped against previously *committed* output via
-the same negative-cache anti-join the round scheduler uses (F11/J3).  For
-exactly-once output the sink relies on the checkpoint + append atomicity of
-the file sink pattern.
+the same negative-cache anti-join the round scheduler uses (F11/J3).
+
+Delivery semantics (ADVICE r01): the plain parquet-append sink is
+AT-LEAST-ONCE — a micro-batch retried after a partial failure re-appends its
+rows.  With ``dedup_across_batches=True`` the anti-join against the sink
+makes the retry idempotent (already-committed templates are dropped before
+the append; the batch is materialized first so the append job never re-reads
+the directory it is writing).  With ``dedup_across_batches=False`` retried
+batches CAN duplicate rows — readers needing exact-once must dedup on read
+or use a transactional table format for the sink.
 """
 
 from __future__ import annotations
@@ -37,6 +44,7 @@ def stream_templates(spark: SparkSession, pages_dir: str, out_dir: str,
 
     def _process(batch_df, batch_id: int) -> None:
         templates = extract_templates(batch_df, dedup=dedup_across_batches)
+        anti_joined = False
         if dedup_across_batches and os.path.isdir(out_dir) and any(
             f.endswith(".parquet") for f in os.listdir(out_dir)
         ):
@@ -46,7 +54,16 @@ def stream_templates(spark: SparkSession, pages_dir: str, out_dir: str,
             ).join(
                 prev.select("parsed_template").distinct(), "parsed_template", "left_anti"
             )
-        templates.select(*TEMPLATE_COLUMNS).write.mode("append").parquet(out_dir)
+            anti_joined = True
+        out = templates.select(*TEMPLATE_COLUMNS)
+        if anti_joined:
+            # Materialize the anti-joined delta BEFORE appending: the write
+            # job must not re-list out_dir while new files land in it.
+            out = out.persist()
+            out.count()
+        out.write.mode("append").parquet(out_dir)
+        if anti_joined:
+            out.unpersist()
 
     query = (
         src.writeStream.foreachBatch(_process)

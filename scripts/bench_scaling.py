@@ -150,7 +150,8 @@ def main() -> None:
             )
             gen = build_session("genpages")
             gen.sparkContext.setLogLevel("ERROR")
-            write_distributed_pages(gen, pages_path, args.pages, seed=42)
+            write_distributed_pages(gen, pages_path, args.pages, seed=42,
+                                    methods=density[0], stmts=density[1])
             gen.stop()
 
     small, big = run_level_interleaved(repo, pages_path, args.small, args.big,

@@ -35,6 +35,9 @@ def main() -> None:
 
     spark = build_session("crawl", master=args.master)
     if args.pages:
+        if not args.seeds:
+            ap.error("--seeds is required when --pages is given "
+                     "(a crawl over an external pages table needs its seed list)")
         pages = spark.read.parquet(args.pages)
         seeds = spark.read.parquet(args.seeds)
         robots = (

@@ -270,13 +270,31 @@ def test_bloom_exactness():
     assert fp / 4000 < 0.05  # reasonable false-positive rate
 
 
-def test_canonicalize_twins():
+def test_canonicalize_twins(spark):
     cases = [
         "https://Host01.Example.org/src/A.java#frag",
         "http://h.example.org:80/x",
         "https://h.example.org:443/",
         "https://h.example.org",
         "HTTPS://H.EXAMPLE.ORG/Path/File.C",
+        # multi-slash: idempotence regression (ADVICE r01 — '/$' stripped one
+        # slash per application, so double-canonicalized outlinks diverged)
+        "https://h.example.org/a//",
+        "https://h.example.org///",
+        "https://h.example.org/a/b/////",
+        "http://h.example.org:80//",
     ]
+    # Python twin is idempotent
     for c in cases:
         assert canonicalize_url_py(c) == canonicalize_url_py(canonicalize_url_py(c))
+    # Spark twin matches the Python twin, and re-application is a no-op
+    from pyspark.sql import functions as F
+    from logtemplatecrawler_spark.crawl.frontier import canonicalize_url
+
+    df = spark.createDataFrame([(c,) for c in cases], "url string")
+    once = df.select(canonicalize_url(F.col("url")).alias("u"))
+    twice = once.select(canonicalize_url(F.col("u")).alias("u"))
+    got_once = [r["u"] for r in once.collect()]
+    got_twice = [r["u"] for r in twice.collect()]
+    assert got_once == [canonicalize_url_py(c) for c in cases]
+    assert got_once == got_twice

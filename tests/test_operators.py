@@ -62,3 +62,44 @@ def test_filter_unseen_bloom_equals_exact(spark):
     no_bloom = {r["url"] for r in filter_unseen(cand, seen, None).collect()}
     with_bloom = {r["url"] for r in filter_unseen(cand, seen, bloom).collect()}
     assert no_bloom == with_bloom == {f"https://s.org/{i}" for i in range(200, 350)}
+
+
+def test_lsh_bucket_dim64_matches_plane_math(spark):
+    """Spark lsh_bucket ≡ pure-numpy plane math at dim 64 (golden pin)."""
+    import numpy as np
+
+    from logtemplatecrawler_spark.operators.similarity import (
+        QUANT, _plane_matrix, lsh_bucket,
+    )
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    got = {
+        r["vec_id"]: r["bucket"]
+        for r in emb.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket")).collect()
+    }
+    rows = emb.collect()
+    planes = _plane_matrix(64)
+    pow2 = 1 << np.arange(planes.shape[0], dtype=np.int64)
+    for r in rows:
+        q = np.floor(np.asarray(r["embedding"], dtype=np.float64) * QUANT).astype(np.int64)
+        want = int(((q @ planes.T) > 0) @ pow2)
+        assert got[r["vec_id"]] == want
+
+
+def test_lsh_bucket_dim768(spark):
+    """The vectorized UDF is dimension-independent (VERDICT r01 item 6: the
+    old 8×64-term Catalyst expression died at real embedding dims)."""
+    import numpy as np
+
+    from logtemplatecrawler_spark.operators.similarity import lsh_bucket
+
+    rng = np.random.default_rng(7)
+    rows = [(i, rng.uniform(-0.5, 0.5, 768).astype("float32").tolist())
+            for i in range(50)]
+    df = spark.createDataFrame(rows, "vec_id int, embedding array<float>")
+    out = df.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket")).collect()
+    assert len(out) == 50
+    assert all(0 <= r["bucket"] < 256 for r in out)
+    # two runs agree (deterministic planes, exact integer dots)
+    out2 = df.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket")).collect()
+    assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
