@@ -339,3 +339,32 @@ def parse_statement(raw: str, lang: str, framework: str) -> Optional[Tuple[str, 
     if not template:
         return None
     return template, _flatten(variables)
+
+
+def check_number(number_string: str):
+    """U13 — numeric-literal classifier (java.py:235-245, verbatim
+    semantics): ('int', value) if Python ``int()`` accepts the token, else
+    ('float', value) if ``float()`` does, else None (the reference's
+    fall-through — no return statement — which would crash its caller's
+    tuple unpack; only the legacy ``_parse`` path at java.py:139-144 calls
+    this, ``_parse_new`` never does, so the engine exposes it for API
+    completeness and the '{!Integer}'/'{!Float}' argument tagging is pinned
+    by tests only)."""
+    try:
+        return "int", int(number_string)
+    except ValueError:
+        pass
+    try:
+        return "float", float(number_string)
+    except ValueError:
+        return None
+
+
+def number_argument_tag(number_string: str) -> str:
+    """The legacy path's argument tag for a numeric token (java.py:139-144):
+    '{!Integer}' for ints, '{!Float}' for floats.  A token neither accepts
+    raises TypeError — exactly the reference's ``dtype, value = None``
+    unpack crash (unreachable from real lexer 'num' tokens; kept so the
+    quirk is pinned, not papered over)."""
+    dtype, _value = check_number(number_string)
+    return "{!Integer}" if dtype == "int" else "{!Float}"

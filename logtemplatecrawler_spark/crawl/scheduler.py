@@ -22,14 +22,20 @@ cron-batch, not streaming, so the engine is batch-iterative by design):
      MANIFEST never happened (atomic commit), so a killed job resumes
      exactly at the last complete round.
 
-At 10^10-URL scale the frontier snapshot-per-round becomes an Iceberg MERGE
-(row-level deltas + snapshot lineage); the checkpoint layout here keeps the
-same commit/resume semantics with plain parquet (SURVEY §7 risk 6).
+All checkpoint IO goes through the table-format seam
+(sources/table_format.py): in-sandbox that is parquet + MANIFEST-last
+commits; at 10^10-URL scale the same five calls are implemented by an ACID
+table format (Iceberg MERGE: row-level deltas + snapshot lineage) without
+touching this loop (SURVEY §7 risk 6).
+
+Cross-round negative cache: each round commits ONE cumulative
+``neg_keys`` snapshot (all template/parsed_template keys committed so far),
+and the next round anti-joins against that single snapshot — reading every
+previous round's delta instead (r01) was O(R²) file-opens over the crawl.
 """
 
 from __future__ import annotations
 
-import json
 import os
 import time
 from dataclasses import dataclass, field
@@ -43,6 +49,7 @@ from logtemplatecrawler_spark.crawl.politeness import pop_per_host
 from logtemplatecrawler_spark.crawl.robots import with_robots_blocked
 from logtemplatecrawler_spark.crawl.seen import build_bloom, filter_unseen
 from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
+from logtemplatecrawler_spark.sources.table_format import ParquetManifestFormat
 
 # Native outlink harvest — must stay identical to the oracle simulator's
 # Python regex (tests/test_crawl.py).
@@ -64,6 +71,8 @@ class CrawlConfig:
     # None = admit the whole seed list at round 0.
     seeds_per_round: Optional[int] = None
     extra_confs: Dict[str, str] = field(default_factory=dict)
+    # Checkpoint storage backend (parquet+MANIFEST here; Iceberg in prod).
+    table_format: ParquetManifestFormat = field(default_factory=ParquetManifestFormat)
 
 
 def _round_dir(cfg: CrawlConfig, rnd: int) -> str:
@@ -71,24 +80,28 @@ def _round_dir(cfg: CrawlConfig, rnd: int) -> str:
 
 
 def last_complete_round(cfg: CrawlConfig) -> Optional[int]:
-    """Highest round with a MANIFEST (commit marker), or None."""
+    """Highest round with a commit marker, or None."""
     if not os.path.isdir(cfg.checkpoint_dir):
         return None
     rounds = []
     for name in os.listdir(cfg.checkpoint_dir):
-        if name.startswith("round=") and os.path.exists(
-            os.path.join(cfg.checkpoint_dir, name, "MANIFEST.json")
+        if name.startswith("round=") and cfg.table_format.is_committed(
+            os.path.join(cfg.checkpoint_dir, name)
         ):
             rounds.append(int(name.split("=")[1]))
     return max(rounds) if rounds else None
 
 
 def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
-    return spark.read.parquet(os.path.join(_round_dir(cfg, rnd), "frontier"))
+    return cfg.table_format.read_snapshot(
+        spark, os.path.join(_round_dir(cfg, rnd), "frontier")
+    )
 
 
 def read_all_templates(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
-    """Union of all committed per-round template deltas."""
+    """Union of all committed per-round template deltas (one-time export
+    read — the per-round loop never does this; it uses the cumulative
+    ``neg_keys`` snapshot)."""
     last = last_complete_round(cfg)
     paths = [
         os.path.join(_round_dir(cfg, r), "templates")
@@ -98,6 +111,32 @@ def read_all_templates(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     if not paths:
         raise FileNotFoundError(f"no committed template deltas under {cfg.checkpoint_dir}")
     return spark.read.parquet(*paths)
+
+
+def _neg_path(cfg: CrawlConfig, rnd: int) -> str:
+    return os.path.join(_round_dir(cfg, rnd), "neg_keys")
+
+
+def _load_neg_cache(spark: SparkSession, cfg: CrawlConfig,
+                    resumed: Optional[int]) -> Optional[DataFrame]:
+    """Cumulative committed-template keys as of the resumed round (None on a
+    fresh crawl).  Checkpoints written before neg_keys existed fall back to
+    a one-time rebuild from the committed deltas."""
+    if resumed is None:
+        return None
+    fmt = cfg.table_format
+    path = _neg_path(cfg, resumed)
+    if fmt.snapshot_exists(path):
+        return fmt.read_snapshot(spark, path)
+    paths = [
+        os.path.join(_round_dir(cfg, r), "templates")
+        for r in range(resumed + 1)
+        if fmt.is_committed(_round_dir(cfg, r))
+        and os.path.isdir(os.path.join(_round_dir(cfg, r), "templates"))
+    ]
+    if not paths:
+        return None
+    return spark.read.parquet(*paths).select("template", "parsed_template")
 
 
 def discover_outlinks(fetched_pages: DataFrame) -> DataFrame:
@@ -124,7 +163,9 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         all_seeds = all_seeds.persist()
     _n_seeds_total = all_seeds.count() if cfg.seeds_per_round is not None else 0
 
+    fmt = cfg.table_format
     resumed = last_complete_round(cfg)
+    neg = _load_neg_cache(spark, cfg, resumed)
     if resumed is None:
         if cfg.seeds_per_round is None:
             frontier = all_seeds
@@ -196,17 +237,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # Cross-round dedup: the reference's negative-cache / ON CONFLICT
         # anti-joins (F11/J3, dags/log2vec_process-repository.py:297-328) —
         # a template (or parsed_template) already committed by an earlier
-        # round never re-enters.
-        prev_rounds = [
-            os.path.join(_round_dir(cfg, r), "templates") for r in range(rnd)
-            if os.path.exists(os.path.join(_round_dir(cfg, r), "MANIFEST.json"))
-        ]
-        if prev_rounds:
-            prev = spark.read.parquet(*prev_rounds)
+        # round never re-enters.  `neg` is ONE cumulative committed-keys
+        # snapshot (re-reading every prior round's delta was O(R²)
+        # file-opens over the crawl — VERDICT r01 item 4).
+        if neg is not None:
             templates = templates.join(
-                prev.select("template").distinct(), "template", "left_anti"
+                neg.select("template").distinct(), "template", "left_anti"
             ).join(
-                prev.select("parsed_template").distinct(), "parsed_template", "left_anti"
+                neg.select("parsed_template").distinct(), "parsed_template", "left_anti"
             )
 
         if cfg.discover_links:
@@ -245,11 +283,20 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         from logtemplatecrawler_spark.plans.template_pipeline import TEMPLATE_COLUMNS
         templates = templates.select(*TEMPLATE_COLUMNS).withColumn("round", F.lit(rnd))
         rdir = _round_dir(cfg, rnd)
-        templates.write.mode("overwrite").parquet(os.path.join(rdir, "templates"))
-        frontier_next.write.mode("overwrite").parquet(os.path.join(rdir, "frontier"))
-        frontier = spark.read.parquet(os.path.join(rdir, "frontier"))
+        fmt.write_snapshot(templates, os.path.join(rdir, "templates"))
+        fmt.write_snapshot(frontier_next, os.path.join(rdir, "frontier"))
+        frontier = fmt.read_snapshot(spark, os.path.join(rdir, "frontier"))
 
-        n_templates = spark.read.parquet(os.path.join(rdir, "templates")).count()
+        # Roll the cumulative negative cache forward: previous snapshot ∪
+        # this round's committed delta keys, all file-backed (no lineage
+        # recursion across rounds).
+        delta = fmt.read_snapshot(spark, os.path.join(rdir, "templates"))
+        n_templates = delta.count()
+        neg_next = delta.select("template", "parsed_template")
+        if neg is not None:
+            neg_next = neg.unionByName(neg_next)
+        fmt.write_snapshot(neg_next, _neg_path(cfg, rnd))
+        neg = fmt.read_snapshot(spark, _neg_path(cfg, rnd))
         # ONE stats job over the committed snapshot derives everything else —
         # recounting `new_rows`/`popped` directly would re-execute the whole
         # discovery anti-join / politeness window a second time.
@@ -285,10 +332,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             "elapsed_sec": round(elapsed, 3),
             "urls_per_sec": round(n_popped / elapsed, 2) if elapsed > 0 else None,
         }
-        with open(os.path.join(rdir, "metrics.json"), "w") as fh:
-            json.dump(metrics, fh)
-        with open(os.path.join(rdir, "MANIFEST.json"), "w") as fh:
-            json.dump({"round": rnd, "complete": True}, fh)
+        fmt.commit_round(rdir, metrics)
         metrics_log.append(metrics)
         fetched.unpersist()
 

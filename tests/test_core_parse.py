@@ -113,3 +113,30 @@ def test_empty_call_dropped():
 def test_string_only_concatenation():
     out = parse_statement('log.info("part one " + "part two")', "java", "slf4j")
     assert out == ("part one part two", [])
+
+
+def test_u13_check_number_golden():
+    """U13 (java.py:235-245): int-else-float-else-None classification,
+    including Python-int quirks the reference inherits (underscores, signs,
+    whitespace) and the float specials."""
+    from logtemplatecrawler_spark.core.parse import check_number, number_argument_tag
+
+    assert check_number("42") == ("int", 42)
+    assert check_number("-7") == ("int", -7)
+    assert check_number("+05") == ("int", 5)
+    assert check_number("1_000") == ("int", 1000)   # PEP 515 int() quirk
+    assert check_number(" 9 ") == ("int", 9)        # int() strips whitespace
+    assert check_number("3.14") == ("float", 3.14)
+    assert check_number("1e3") == ("float", 1000.0)
+    assert check_number(".5") == ("float", 0.5)
+    assert check_number("inf") == ("float", float("inf"))
+    assert check_number("0x1F") is None             # int(hex-str) raises in base 10
+    assert check_number("abc") is None
+    assert check_number("") is None
+
+    assert number_argument_tag("42") == "{!Integer}"
+    assert number_argument_tag("3.14") == "{!Float}"
+    assert number_argument_tag("1e3") == "{!Float}"
+    import pytest as _pytest
+    with _pytest.raises(TypeError):                 # reference unpack crash
+        number_argument_tag("abc")

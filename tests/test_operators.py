@@ -103,3 +103,20 @@ def test_lsh_bucket_dim768(spark):
     # two runs agree (deterministic planes, exact integer dots)
     out2 = df.select("vec_id", lsh_bucket(F.col("embedding")).alias("bucket")).collect()
     assert sorted(map(tuple, out)) == sorted(map(tuple, out2))
+
+
+def test_distributed_bloom_bit_identical(spark):
+    """build_bloom (native probes + groupBy bit_or, no raw-key collect) is
+    bit-identical to the pure-Python HashBloom spec, incl. negative hashes."""
+    from logtemplatecrawler_spark.crawl.seen import build_bloom
+
+    urls = spark.createDataFrame(
+        [(f"https://h{i % 7}.org/p/{i}",) for i in range(500)], "url string"
+    )
+    frontier = with_frontier_keys(urls)
+    hashes = [r[0] for r in frontier.select("url_hash").collect()]
+    assert any(h < 0 for h in hashes)  # xxhash64 is signed — cover that leg
+    spec = HashBloom(hashes)
+    dist = build_bloom(frontier)
+    assert dist.mask == spec.mask
+    assert dist.bits == spec.bits
