@@ -53,14 +53,24 @@ def _plane_matrix(dims: int, n_planes: int = N_PLANES) -> np.ndarray:
     return np.asarray(plane_coefficients(n_planes, dims), dtype=np.int64)
 
 
-@F.pandas_udf(IntegerType())
-def lsh_bucket(emb: pd.Series) -> pd.Series:
-    """array<float> embedding → n_planes-bit LSH bucket id (int32)."""
-    if len(emb) == 0:
-        return pd.Series([], dtype="int32")
-    mat = np.vstack(emb.to_numpy())
-    quant = np.floor(mat.astype(np.float64) * QUANT).astype(np.int64)
-    planes = _plane_matrix(quant.shape[1])
-    dots = quant @ planes.T
-    pow2 = 1 << np.arange(planes.shape[0], dtype=np.int64)
-    return pd.Series(((dots > 0) @ pow2).astype("int32"))
+def make_lsh_bucket(n_planes: int = N_PLANES):
+    """Build the bucketing UDF for a given signature width: fewer planes →
+    wider buckets (higher recall, more candidates per probe); more planes →
+    narrower buckets (the dedup-leaning end)."""
+
+    @F.pandas_udf(IntegerType())
+    def lsh_bucket(emb: pd.Series) -> pd.Series:
+        """array<float> embedding → n_planes-bit LSH bucket id (int32)."""
+        if len(emb) == 0:
+            return pd.Series([], dtype="int32")
+        mat = np.vstack(emb.to_numpy())
+        quant = np.floor(mat.astype(np.float64) * QUANT).astype(np.int64)
+        planes = _plane_matrix(quant.shape[1], n_planes)
+        dots = quant @ planes.T
+        pow2 = 1 << np.arange(planes.shape[0], dtype=np.int64)
+        return pd.Series(((dots > 0) @ pow2).astype("int32"))
+
+    return lsh_bucket
+
+
+lsh_bucket = make_lsh_bucket(N_PLANES)

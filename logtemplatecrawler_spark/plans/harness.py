@@ -932,6 +932,249 @@ def dedup_embedding_pairs(spark, sf_dir):
     )
 
 
+_SEARCH_PLANES = 4  # 16 buckets: the recall-leaning width for search probes
+
+
+def _lsh_search_sql(k: int = 10, n_planes: int = _SEARCH_PLANES) -> str:
+    """Bucket-restricted cosine search: the hyperplane-bucket CTE (same
+    generated plane constants as `ann_lsh_hyperplane`, recall-leaning
+    4-plane width) narrows candidates to the query's bucket, then the exact
+    cosine ranks only those."""
+    from logtemplatecrawler_spark.operators.similarity import plane_coefficients
+
+    coefs = plane_coefficients(n_planes, 64)
+    qdefs = ",\n             ".join(
+        f"CAST(floor(CAST(embedding[{d + 1}] AS DOUBLE) * 1000) AS BIGINT) AS q{d}"
+        for d in range(64)
+    )
+    planes = " + ".join(
+        "(CASE WHEN "
+        + " + ".join(f"({coefs[p][d]} * q{d})" for d in range(64))
+        + f" > 0 THEN {2 ** p} ELSE 0 END)"
+        for p in range(n_planes)
+    )
+    return f"""
+    WITH qcols AS (
+      SELECT vec_id,
+             {qdefs}
+      FROM embeddings
+    ), buckets AS (
+      SELECT vec_id, {planes} AS bucket FROM qcols
+    ), qb AS (
+      SELECT bucket FROM buckets WHERE vec_id = 0
+    ), cand AS (
+      SELECT b.vec_id FROM buckets b JOIN qb ON b.bucket = qb.bucket
+      WHERE b.vec_id <> 0
+    ), qe AS (
+      SELECT unnest(embedding) AS qv, generate_subscripts(embedding, 1) AS i
+      FROM embeddings WHERE vec_id = 0
+    ), e AS (
+      SELECT em.vec_id, unnest(em.embedding) AS ev,
+             generate_subscripts(em.embedding, 1) AS i
+      FROM embeddings em JOIN cand ON em.vec_id = cand.vec_id
+    ), dots AS (
+      SELECT e.vec_id,
+             sum(CAST(e.ev AS DOUBLE) * CAST(qe.qv AS DOUBLE)) AS dot,
+             sum(CAST(e.ev AS DOUBLE) * CAST(e.ev AS DOUBLE)) AS nn
+      FROM e JOIN qe ON e.i = qe.i GROUP BY e.vec_id
+    ), qn AS (SELECT sum(CAST(qv AS DOUBLE) * CAST(qv AS DOUBLE)) AS qq FROM qe)
+    SELECT vec_id, round(dot / sqrt(nn * (SELECT qq FROM qn)), 6) AS cosine
+    FROM dots
+    ORDER BY round(dot / sqrt(nn * (SELECT qq FROM qn)), 6) DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@_q("ann_lsh_bucket_search", sql=_lsh_search_sql())
+def ann_lsh_bucket_search(spark, sf_dir):
+    """End-to-end LSH search (the scale path `ann_cosine_topk` oracles):
+    hyperplane buckets narrow candidates to the query's bucket — at 100 TB
+    that is a partition-pruned scan of ~1/2^8 of the vectors — then the
+    exact cosine ranks only those.  Same plan shape as the brute-force
+    oracle downstream of the candidate cut."""
+    from logtemplatecrawler_spark.operators.similarity import make_lsh_bucket
+
+    bucket_udf = make_lsh_bucket(_SEARCH_PLANES)
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = emb.select("vec_id", bucket_udf(F.col("embedding")).alias("bucket"))
+    qb = buckets.where(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
+    cand = (
+        buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.posexplode("embedding").alias("i", "qv")
+    )
+    e = emb.join(cand, "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("i", "ev")
+    )
+    dots = (
+        e.join(q, "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("ev").cast("double") * F.col("qv").cast("double")).alias("dot"),
+            F.sum(F.col("ev").cast("double") * F.col("ev").cast("double")).alias("nn"),
+        )
+    )
+    qq = q.agg(F.sum(F.col("qv").cast("double") * F.col("qv").cast("double")).alias("qq"))
+    cos = F.round(F.col("dot") / F.sqrt(F.col("nn") * F.col("qq")), 6)
+    return (
+        dots.crossJoin(F.broadcast(qq))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@_q("ann_ivf_search", sql="""
+    WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id % 8 AS k, i, avg(x) AS c FROM flat GROUP BY 1, 2
+    ), dists AS (
+      SELECT f.vec_id, c.k, sum((f.x - c.c) * (f.x - c.c)) AS d2
+      FROM flat f JOIN cents c ON f.i = c.i
+      GROUP BY 1, 2
+    ), assign AS (
+      SELECT vec_id, k, row_number() OVER (
+        PARTITION BY vec_id ORDER BY round(d2, 6), k) AS rn
+      FROM dists
+    ), probe AS (
+      SELECT k FROM assign WHERE vec_id = 0 AND rn = 1
+    ), cand AS (
+      SELECT a.vec_id FROM assign a JOIN probe ON a.k = probe.k
+      WHERE a.rn = 1 AND a.vec_id <> 0
+    ), qe AS (
+      SELECT i, x AS qv FROM flat WHERE vec_id = 0
+    ), dots AS (
+      SELECT f.vec_id,
+             sum(f.x * qe.qv) AS dot,
+             sum(f.x * f.x) AS nn
+      FROM flat f JOIN cand ON f.vec_id = cand.vec_id
+      JOIN qe ON f.i = qe.i
+      GROUP BY f.vec_id
+    ), qn AS (SELECT sum(qv * qv) AS qq FROM qe)
+    SELECT vec_id, round(dot / sqrt(nn * (SELECT qq FROM qn)), 6) AS cosine
+    FROM dots
+    ORDER BY round(dot / sqrt(nn * (SELECT qq FROM qn)), 6) DESC, vec_id
+    LIMIT 10
+""")
+def ann_ivf_search(spark, sf_dir):
+    """IVF probe-1 search: the query probes its own nearest centroid's cell
+    and ranks only that cell's vectors by exact cosine — the
+    coarse-quantizer counterpart of `ann_lsh_bucket_search` (at scale the
+    cells are the partition keys, so a probe is a partition-pruned scan)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    cents = flat.groupBy((F.col("vec_id") % 8).alias("k"), "i").agg(
+        F.avg("x").alias("c")
+    )
+    dists = (
+        flat.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), F.col("k"))
+    assign = dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    probe = assign.where(F.col("vec_id") == 0).select(F.col("k").alias("pk"))
+    cand = (
+        assign.join(F.broadcast(probe), F.col("k") == F.col("pk"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    qe = flat.where(F.col("vec_id") == 0).select("i", F.col("x").alias("qv"))
+    dots = (
+        flat.join(cand, "vec_id")
+        .join(F.broadcast(qe), "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("x") * F.col("qv")).alias("dot"),
+            F.sum(F.col("x") * F.col("x")).alias("nn"),
+        )
+    )
+    qq = qe.agg(F.sum(F.col("qv") * F.col("qv")).alias("qq"))
+    cos = F.round(F.col("dot") / F.sqrt(F.col("nn") * F.col("qq")), 6)
+    return (
+        dots.crossJoin(F.broadcast(qq))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )
+
+
+@_q("dedup_ngram_jaccard", sql="""
+    WITH grams AS (
+      SELECT DISTINCT doc_id,
+             unnest(list_transform(range(1, length(text) - 1),
+                                   i -> substr(text, i, 3))) AS g
+      FROM documents WHERE doc_id < 150 AND length(text) >= 3
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM grams GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM grams a JOIN grams b ON a.g = b.g AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT doc_a, doc_b,
+           round(inter * 1.0 / (sa.n + sb.n - inter), 6) AS jaccard
+    FROM pairs
+    JOIN sizes sa ON sa.doc_id = doc_a
+    JOIN sizes sb ON sb.doc_id = doc_b
+    WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.82
+""")
+def dedup_ngram_jaccard(spark, sf_dir):
+    """Near-dup by character-trigram Jaccard ≥ 0.82 over a doc_id<150 slice
+    — the n-gram-level exactness oracle (word-level Jaccard misses
+    word-internal edits); the scale path stays minhash/LSH."""
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 150) & (F.length("text") >= 3)
+    )
+    grams = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr("transform(sequence(1, length(text) - 2),"
+                   " i -> substring(text, i, 3))")
+        ).alias("g"),
+    ).distinct()
+    sizes = grams.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = grams.alias("a"), grams.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.g") == F.col("b.g")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.82)
+        .select("doc_a", "doc_b", F.round(jac, 6).alias("jaccard"))
+    )
+
+
+@_q("text_token_count_regex", sql="""
+    SELECT doc_id,
+           CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))
+                AS BIGINT) AS n_tokens
+    FROM documents
+""")
+def text_token_count_regex(spark, sf_dir):
+    """BPE-ish tokenizer plumbing: letter-runs | digit-runs | single
+    punctuation (the pre-tokenization split every BPE vocabulary starts
+    from), counted natively — whitespace counting is `text_token_count`."""
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.regexp_count("text", F.lit("[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]"))
+        .cast("bigint").alias("n_tokens"),
+    )
+
+
 # ---------------------------------------------------------------------------
 # Flagship: the full crawl/template pipeline (U1-U12, F6-F10, W3 end-to-end)
 # ---------------------------------------------------------------------------
