@@ -66,6 +66,9 @@ class CrawlConfig:
     discover_links: bool = True
     discovered_priority: int = 0
     use_bloom: bool = True
+    # Below this frontier size the bloom build (2 Spark jobs/round) costs
+    # more than the anti-join it prunes; the exact join decides either way.
+    bloom_min_keys: int = 4096
     # EP1 fidelity: admit seeds in pages of this size per round (the
     # reference's paged GraphQL search + cursor checkpoint, S1/S9/A3);
     # None = admit the whole seed list at round 0.
@@ -249,7 +252,10 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
 
         if cfg.discover_links:
             candidates = discover_outlinks(good)
-            bloom = build_bloom(frontier) if cfg.use_bloom else None
+            bloom = (
+                build_bloom(frontier, min_keys=cfg.bloom_min_keys)
+                if cfg.use_bloom else None
+            )
             candidates = FR.with_frontier_keys(candidates, n_salts=cfg.n_salts)
             new_urls = filter_unseen(candidates, frontier, bloom)
             new_rows = new_urls.select(

@@ -87,7 +87,8 @@ def _bloom_size(n_keys: int, bits_per_key: int = 12) -> int:
 
 
 def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
-                max_bits: int = 1 << 33) -> Optional[HashBloom]:
+                max_bits: int = 1 << 33,
+                min_keys: int = 0) -> Optional[HashBloom]:
     """Distributed bloom build over the frontier's ``url_hash`` column.
 
     Probe positions are computed with native column arithmetic (the exact
@@ -95,10 +96,14 @@ def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
     with one ``groupBy(word_idx).bit_or`` shuffle, and only the populated
     words are collected (≤ size/64 rows — for 2M keys that is ~512k compact
     rows instead of 2M raw hash Rows).  Returns None above ``max_bits``
-    (1 GiB of bits ≈ 700M keys) — callers then rely on the exact anti-join
-    alone, which stays the decider either way.
+    (1 GiB of bits ≈ 700M keys) or below ``min_keys`` (the build is two
+    Spark jobs; under ~10^4 keys the plain anti-join is cheaper than
+    building the prune) — callers then rely on the exact anti-join alone,
+    which stays the decider either way.
     """
     n_keys = frontier.count()
+    if n_keys < min_keys:
+        return None
     size = _bloom_size(n_keys, bits_per_key)
     if size > max_bits:
         return None

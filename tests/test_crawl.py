@@ -329,3 +329,20 @@ def test_neg_cache_cumulative_matches_deltas(spark, crawl_result):
         for r in cfg.table_format.read_snapshot(spark, _neg_path(cfg, last)).collect()
     }
     assert got == want
+
+
+def test_bloom_path_crawl_matches_oracle(spark, corpus, tmp_path_factory):
+    """Force the bloom prune on at fixture scale (bloom_min_keys=0): the
+    final URL-seen set must be unchanged — the exact anti-join stays the
+    decider, the bloom only splits its input."""
+    pages, seeds, robots = corpus
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt_bloom"))
+    cfg = CrawlConfig(checkpoint_dir=ckpt, host_budget=BUDGET, max_rounds=4,
+                      bloom_min_keys=0)
+    run_crawl(spark, pages_df(spark, N_PAGES, seed=42),
+              seeds_df(spark, pages, seed=42), robots_df(spark, pages, seed=42), cfg)
+    oracle_frontier, _, _ = oracle_crawl(pages, seeds, robots, max_rounds=4)
+    last = last_complete_round(cfg)
+    got = {r["url"]: r["state"] for r in load_frontier(spark, cfg, last).collect()}
+    want = {u: v["state"] for u, v in oracle_frontier.items()}
+    assert got == want
