@@ -748,6 +748,47 @@ def mm_binary_meta(spark, sf_dir):
     )
 
 
+@_q("mm_frame_sample", sql="""
+    WITH fr AS (
+      SELECT doc_id, text,
+             unnest(range(0, CAST(ceil(length(text) / 32.0) AS BIGINT), 4))
+               AS frame_idx
+      FROM documents
+    )
+    SELECT doc_id, CAST(frame_idx AS BIGINT) AS frame_idx,
+           md5(substr(text, CAST(frame_idx * 32 + 1 AS BIGINT), 32)) AS frame_sig
+    FROM fr
+""")
+def mm_frame_sample(spark, sf_dir):
+    """Multimodal frame sampling: every 4th 32-byte "frame" of an opaque
+    binary payload is sliced and fingerprinted inside a mapInPandas stage
+    (Arrow binary batches) — the plumbing shape of video frame-sampling /
+    audio chunking, with the codec swapped for a byte slicer the SQL oracle
+    can mirror (real decoders slot into `_sample`; libs absent here)."""
+    docs = _t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+
+    def _sample(batches):
+        import hashlib
+
+        import pandas as pd
+        for pdf in batches:
+            ids, idxs, sigs = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                buf = bytes(payload)
+                n_frames = -(-len(buf) // 32)
+                for i in range(0, n_frames, 4):
+                    ids.append(doc_id)
+                    idxs.append(i)
+                    sigs.append(hashlib.md5(buf[i * 32:i * 32 + 32]).hexdigest())
+            yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sig": sigs})
+
+    return docs.mapInPandas(
+        _sample, schema="doc_id bigint, frame_idx bigint, frame_sig string"
+    )
+
+
 # ---------------------------------------------------------------------------
 # §2.2 F4/F5 url-path predicates, §2.5 O3, §2.7 U15
 # ---------------------------------------------------------------------------
