@@ -1,0 +1,102 @@
+"""Event-time windowed crawl metrics with late-data handling.
+
+Per-(host, event-time window) page counts and byte volume over a pages
+stream — the streaming twin of the scheduler's per-round metrics (each
+batch round IS a processing-time window; a continuous crawl needs
+event-time windows instead, keyed by the page's ``warc_ts``).
+
+Late data: in ``update``/``append`` output modes the watermark bounds
+state — windows older than ``max(event time) - delay`` are finalized and
+their state evicted, and later-arriving rows for them are DROPPED (counted
+nowhere).  On an unbounded crawl the state store therefore stays bounded by
+(hosts × open windows), not by stream length.  In ``complete`` mode Spark
+must retain every window, so the watermark does NOT drop late rows — use
+complete only for bounded drains/monitoring.  Both behaviors are pinned by
+tests/test_streaming_and_tables.py: stream-equals-batch for a complete-mode
+drain, and an update-mode restart emitting nothing for rows arriving behind
+the checkpointed watermark.
+
+The same plan works for batch DataFrames (no watermark needed — batch sees
+all data at once), which is what the parity test compares against.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from logtemplatecrawler_spark.functions.columns import url_host
+
+
+def windowed_host_metrics(pages: DataFrame, window_len: str = "1 hour",
+                          watermark_delay: str = "2 hours") -> DataFrame:
+    """pages(url, warc_ts, html, …) → (win_start, win_end, host, pages, bytes).
+
+    Streaming inputs get a watermark on ``warc_ts``; batch inputs run the
+    identical aggregation without one.
+    """
+    p = pages.select(
+        url_host(F.col("url")).alias("host"),
+        "warc_ts",
+        F.octet_length("html").alias("nbytes"),
+    )
+    if p.isStreaming:
+        p = p.withWatermark("warc_ts", watermark_delay)
+    return (
+        p.groupBy(F.window("warc_ts", window_len).alias("w"), "host")
+        .agg(F.count("*").alias("pages"), F.sum("nbytes").alias("bytes"))
+        .select(
+            F.col("w.start").alias("win_start"),
+            F.col("w.end").alias("win_end"),
+            "host", "pages", "bytes",
+        )
+    )
+
+
+def drain_windowed_metrics(spark, pages_dir: str, schema: str,
+                           checkpoint_dir: str, query_name: str,
+                           window_len: str = "1 hour",
+                           watermark_delay: str = "2 hours",
+                           output_mode: str = "complete"):
+    """Drain all files under ``pages_dir`` through the windowed aggregation
+    into an in-memory table named ``query_name``.  ``complete`` = the whole
+    result (bounded drains/monitoring; watermark does not evict); ``update``
+    = only windows changed this run, with watermark state eviction and
+    late-row dropping — the production mode for a keyed sink."""
+    src = spark.readStream.schema(schema).parquet(pages_dir)
+    q = (
+        windowed_host_metrics(src, window_len, watermark_delay)
+        .writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(output_mode)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return spark.table(query_name)
+
+
+def drain_windowed_updates(spark, pages_dir: str, schema: str,
+                           checkpoint_dir: str, out_dir: str,
+                           window_len: str = "1 hour",
+                           watermark_delay: str = "2 hours") -> None:
+    """Update-mode drain to a parquet sink via foreachBatch — the
+    production shape: only windows changed by each micro-batch are emitted,
+    watermark state is evicted, too-late rows are dropped, and the
+    checkpoint makes restarts resume (the memory sink cannot recover from a
+    checkpoint, so the late-data tests use this path)."""
+    src = spark.readStream.schema(schema).parquet(pages_dir)
+    agg = windowed_host_metrics(src, window_len, watermark_delay)
+
+    def _sink(batch_df, batch_id: int) -> None:
+        batch_df.write.mode("append").parquet(out_dir)
+
+    q = (
+        agg.writeStream.foreachBatch(_sink)
+        .outputMode("update")
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()

@@ -63,3 +63,71 @@ def test_csv_roundtrip(spark, tmp_path):
     write_csv(df, path)
     back = read_csv(spark, path, "id int, name string")
     assert {(r["id"], r["name"]) for r in back.collect()} == {(1, "x"), (2, "y")}
+
+
+def test_windowed_metrics_stream_equals_batch(spark, tmp_path):
+    """Event-time windowed agg: availableNow drain ≡ the batch twin for
+    in-order input (same windows, counts, byte sums)."""
+    from logtemplatecrawler_spark.sources.fixtures import PAGES_DDL
+    from logtemplatecrawler_spark.streaming.windowed_metrics import (
+        drain_windowed_metrics, windowed_host_metrics,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages_parquet(pages_dir, 120, seed=42, n_files=6)
+    got_df = drain_windowed_metrics(
+        spark, pages_dir, PAGES_DDL, str(tmp_path / "ckpt"), "wm_parity"
+    )
+    got = {tuple(r) for r in got_df.collect()}
+    want = {
+        tuple(r)
+        for r in windowed_host_metrics(spark.read.parquet(pages_dir)).collect()
+    }
+    assert got == want and len(got) > 5
+
+
+def test_windowed_metrics_drops_too_late_rows(spark, tmp_path):
+    """Update mode + watermark: rows arriving behind the checkpointed
+    watermark are dropped — a restart that sees ONLY too-late replays emits
+    no window updates at all (the state-bounding late-data rule; complete
+    mode deliberately does not evict, per the module docstring)."""
+    import shutil
+
+    from logtemplatecrawler_spark.sources.fixtures import PAGES_DDL
+    from logtemplatecrawler_spark.streaming.windowed_metrics import (
+        drain_windowed_metrics,
+    )
+
+    from logtemplatecrawler_spark.streaming.windowed_metrics import (
+        drain_windowed_updates,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    # fixture warc_ts advances 37s per page: 400 pages ≈ 4.1 hours of
+    # event time → several 1-hour windows; watermark delay 1 hour.
+    write_pages_parquet(pages_dir, 400, seed=42, n_files=8)
+    ckpt = str(tmp_path / "ckpt")
+    out1 = str(tmp_path / "updates1")
+    drain_windowed_updates(spark, pages_dir, PAGES_DDL, ckpt, out1,
+                           watermark_delay="1 hour")
+    assert spark.read.parquet(out1).count() > 5  # several groups emitted
+
+    # replay the page file holding the OLDEST event times as "late" arrivals
+    # (hours behind the watermark now persisted in the checkpoint)
+    files = sorted(f for f in os.listdir(pages_dir) if f.endswith(".parquet"))
+    oldest = min(
+        files,
+        key=lambda f: spark.read.parquet(os.path.join(pages_dir, f))
+        .agg({"warc_ts": "min"}).collect()[0][0],
+    )
+    shutil.copy(
+        os.path.join(pages_dir, oldest), os.path.join(pages_dir, "late-replay.parquet")
+    )
+    out2 = str(tmp_path / "updates2")
+    drain_windowed_updates(spark, pages_dir, PAGES_DDL, ckpt, out2,
+                           watermark_delay="1 hour")
+    try:
+        n_late = spark.read.parquet(out2).count()
+    except Exception:
+        n_late = 0  # no batch emitted at all
+    assert n_late == 0  # every replayed row fell behind the watermark
