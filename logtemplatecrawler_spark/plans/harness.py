@@ -1037,7 +1037,12 @@ def ann_lsh_bucket_search(spark, sf_dir):
 
     bucket_udf = make_lsh_bucket(_SEARCH_PLANES)
     emb = _t(spark, sf_dir, "embeddings")
-    buckets = emb.select("vec_id", bucket_udf(F.col("embedding")).alias("bucket"))
+    # At warehouse scale `buckets` is a materialized index column written at
+    # ingest (and the bucket is the partition key); the persist stands in —
+    # without it the probe and the candidate cut each rescan + re-hash.
+    buckets = emb.select(
+        "vec_id", bucket_udf(F.col("embedding")).alias("bucket")
+    ).persist()
     qb = buckets.where(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
     cand = (
         buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
@@ -1121,7 +1126,15 @@ def ann_ivf_search(spark, sf_dir):
         .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), F.col("k"))
-    assign = dists.withColumn("rn", F.row_number().over(w)).where(F.col("rn") == 1)
+    # The assignment table is the IVF index — one row per vector, built once
+    # (persisted here; written as a partition column at warehouse scale).
+    # Without it the probe and the candidate cut each replay the full
+    # centroid-distance aggregation over a fresh scan.
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .persist()
+    )
     probe = assign.where(F.col("vec_id") == 0).select(F.col("k").alias("pk"))
     cand = (
         assign.join(F.broadcast(probe), F.col("k") == F.col("pk"))
