@@ -346,3 +346,33 @@ def test_bloom_path_crawl_matches_oracle(spark, corpus, tmp_path_factory):
     got = {r["url"]: r["state"] for r in load_frontier(spark, cfg, last).collect()}
     want = {u: v["state"] for u, v in oracle_frontier.items()}
     assert got == want
+
+
+def test_resume_without_neg_keys_rebuilds_cache(spark, corpus, tmp_path_factory):
+    """Checkpoints written before neg_keys existed must still resume: the
+    cache falls back to a one-time rebuild from the committed deltas
+    (scheduler._load_neg_cache), and the finished crawl matches the oracle."""
+    import shutil
+
+    pages, seeds, robots = corpus
+    ckpt = str(tmp_path_factory.mktemp("crawl_ckpt_legacy"))
+    cfg = CrawlConfig(checkpoint_dir=ckpt, host_budget=BUDGET, max_rounds=3)
+    run_crawl(spark, pages_df(spark, N_PAGES, seed=42),
+              seeds_df(spark, pages, seed=42), robots_df(spark, pages, seed=42), cfg)
+    # simulate a pre-neg_keys checkpoint
+    for name in os.listdir(ckpt):
+        legacy = os.path.join(ckpt, name, "neg_keys")
+        if os.path.isdir(legacy):
+            shutil.rmtree(legacy)
+    cfg2 = CrawlConfig(checkpoint_dir=ckpt, host_budget=BUDGET,
+                       max_rounds=MAX_ROUNDS)
+    run_crawl(spark, pages_df(spark, N_PAGES, seed=42),
+              seeds_df(spark, pages, seed=42), robots_df(spark, pages, seed=42), cfg2)
+
+    _, _, oracle_templates = oracle_crawl(pages, seeds, robots)
+    got = {
+        (r["url"], r["stmt_idx"], r["template"])
+        for r in read_all_templates(spark, cfg2).collect()
+    }
+    want = {(r["url"], r["stmt_idx"], r["template"]) for r in oracle_templates}
+    assert got == want
