@@ -344,4 +344,6 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
 
         if state_counts.get(FR.STATE_PENDING, 0) == 0 and not seeds_remain:
             break
+    if cfg.seeds_per_round is not None:
+        all_seeds.unpersist()
     return metrics_log
