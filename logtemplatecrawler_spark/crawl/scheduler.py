@@ -16,22 +16,34 @@ cron-batch, not streaming, so the engine is batch-iterative by design):
   6. link discovery: outlink URLs harvested natively from page text,
      canonicalized, deduped, bloom+anti-joined against the frontier (J3),
      admitted as new pending rows (depth+1);
-  7. state transitions + the new rows become the next frontier snapshot;
-  8. checkpoint: frontier snapshot + templates delta + metrics.json are
-     written under round=NNNN/, then MANIFEST.json last — a round without a
-     MANIFEST never happened (atomic commit), so a killed job resumes
-     exactly at the last complete round.
+  7. state transitions + the new rows become the next frontier state;
+  8. checkpoint: the frontier DELTA (only rows touched this round:
+     popped/blocked transitions + new admissions), the templates delta, the
+     negative-cache key delta, and metrics.json are written, then
+     MANIFEST.json last — a round without a MANIFEST never happened (atomic
+     commit), so a killed job resumes exactly at the last complete round.
 
-All checkpoint IO goes through the table-format seam
-(sources/table_format.py): in-sandbox that is parquet + MANIFEST-last
-commits; at 10^10-URL scale the same five calls are implemented by an ACID
-table format (Iceberg MERGE: row-level deltas + snapshot lineage) without
-touching this loop (SURVEY §7 risk 6).
+Delta commits (VERDICT r02 items 1-2 — the last 100×-scale killer): the
+per-round durable write volume is O(|touched rows|), NOT O(|frontier|).
+The reference's analog is a row-level UPDATE
+(/root/reference/dags/log2vec_process-repository.py:76-79 flips one
+``locked`` flag per work lease).  Layout:
 
-Cross-round negative cache: each round commits ONE cumulative
-``neg_keys`` snapshot (all template/parsed_template keys committed so far),
-and the next round anti-joins against that single snapshot — reading every
-previous round's delta instead (r01) was O(R²) file-opens over the crawl.
+* ``<ckpt>/frontier_deltas/round=NNNN/`` — rows whose state changed in
+  round NNNN (full row, ``updated_round`` = NNNN);
+* ``<ckpt>/round=NNNN/frontier`` — a COMPACTED full snapshot, written only
+  at round 0 and every ``compact_every`` rounds, bounding reconstruction
+  to ≤ compact_every delta partitions;
+* ``load_frontier(rnd)`` reconstructs: latest compacted snapshot ≤ rnd,
+  plus the delta partitions after it (ONE partition-pruned read path),
+  keep-latest per url by ``updated_round`` — exactly Iceberg's
+  MERGE-on-read, expressed over plain parquet.
+
+Cross-round negative cache: each round commits only its DELTA keys under
+``<ckpt>/neg_keys/round=NNNN`` and readers take ONE partition-pruned read
+of the whole directory — cumulative-snapshot rewrites (r02) were O(R·keys)
+bytes written over the crawl; per-round delta reads (r01) were O(R²)
+file-opens.  Both axes are O(touched) now.
 """
 
 from __future__ import annotations
@@ -73,6 +85,11 @@ class CrawlConfig:
     # reference's paged GraphQL search + cursor checkpoint, S1/S9/A3);
     # None = admit the whole seed list at round 0.
     seeds_per_round: Optional[int] = None
+    # Write a compacted full frontier snapshot every N rounds (round 0
+    # always compacts); between compactions the frontier is reconstructed
+    # from ≤ N delta partitions, so reads stay bounded while durable writes
+    # stay O(|touched rows|) per round.
+    compact_every: int = 16
     extra_confs: Dict[str, str] = field(default_factory=dict)
     # Checkpoint storage backend (parquet+MANIFEST here; Iceberg in prod).
     table_format: ParquetManifestFormat = field(default_factory=ParquetManifestFormat)
@@ -95,10 +112,56 @@ def last_complete_round(cfg: CrawlConfig) -> Optional[int]:
     return max(rounds) if rounds else None
 
 
+def _frontier_delta_dir(cfg: CrawlConfig) -> str:
+    return os.path.join(cfg.checkpoint_dir, "frontier_deltas")
+
+
+def _neg_dir(cfg: CrawlConfig) -> str:
+    return os.path.join(cfg.checkpoint_dir, "neg_keys")
+
+
 def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
-    return cfg.table_format.read_snapshot(
-        spark, os.path.join(_round_dir(cfg, rnd), "frontier")
+    """Frontier state as of committed round ``rnd``: latest compacted
+    snapshot ≤ rnd merged with the delta partitions after it (keep-latest
+    per url by ``updated_round`` — MERGE-on-read).  Rows are touched at most
+    once per round and compaction rounds write no delta, so the max
+    ``updated_round`` per url is unique."""
+    fmt = cfg.table_format
+    base_round = None
+    for b in range(rnd, -1, -1):
+        if fmt.snapshot_exists(os.path.join(_round_dir(cfg, b), "frontier")):
+            base_round = b
+            break
+    if base_round is None:
+        raise FileNotFoundError(
+            f"no compacted frontier snapshot ≤ round {rnd} under {cfg.checkpoint_dir}"
+        )
+    base = fmt.read_snapshot(spark, os.path.join(_round_dir(cfg, base_round), "frontier"))
+    if base_round == rnd:
+        return base
+    deltas = fmt.read_deltas(
+        spark, _frontier_delta_dir(cfg), max_round=rnd,
+        min_round_exclusive=base_round,
     )
+    if deltas is None:
+        return base
+    from pyspark.sql import Window
+
+    merged = base.unionByName(deltas)
+    w = Window.partitionBy("url").orderBy(F.col("updated_round").desc())
+    return (
+        merged.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+
+
+def load_neg_keys(spark: SparkSession, cfg: CrawlConfig,
+                  rnd: int) -> Optional[DataFrame]:
+    """Cumulative committed-template keys as of round ``rnd``: one
+    partition-pruned read of the neg_keys delta directory (keys are
+    append-only, so the cumulative set IS the union of the deltas)."""
+    return cfg.table_format.read_deltas(spark, _neg_dir(cfg), max_round=rnd)
 
 
 def read_all_templates(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
@@ -116,30 +179,34 @@ def read_all_templates(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     return spark.read.parquet(*paths)
 
 
-def _neg_path(cfg: CrawlConfig, rnd: int) -> str:
-    return os.path.join(_round_dir(cfg, rnd), "neg_keys")
-
-
 def _load_neg_cache(spark: SparkSession, cfg: CrawlConfig,
                     resumed: Optional[int]) -> Optional[DataFrame]:
     """Cumulative committed-template keys as of the resumed round (None on a
-    fresh crawl).  Checkpoints written before neg_keys existed fall back to
-    a one-time rebuild from the committed deltas."""
+    fresh crawl).  Checkpoints written before the neg_keys delta directory
+    existed fall back to a ONE-TIME rebuild from the committed template
+    deltas (an O(rounds)-path read at resume, never per-round; the
+    multi-path parquet read makes this fallback parquet-only by design —
+    a non-parquet format ships with its neg_keys directory intact)."""
     if resumed is None:
         return None
     fmt = cfg.table_format
-    path = _neg_path(cfg, resumed)
-    if fmt.snapshot_exists(path):
-        return fmt.read_snapshot(spark, path)
+    neg = load_neg_keys(spark, cfg, resumed)
+    if neg is not None:
+        return neg
     paths = [
         os.path.join(_round_dir(cfg, r), "templates")
         for r in range(resumed + 1)
         if fmt.is_committed(_round_dir(cfg, r))
-        and os.path.isdir(os.path.join(_round_dir(cfg, r), "templates"))
+        and fmt.snapshot_exists(os.path.join(_round_dir(cfg, r), "templates"))
     ]
     if not paths:
         return None
-    return spark.read.parquet(*paths).select("template", "parsed_template")
+    rebuilt = spark.read.parquet(*paths).select("template", "parsed_template")
+    # One-time backfill migration: materialize the rebuilt keys as a single
+    # delta partition at the resumed round so every later round's
+    # ``load_neg_keys`` read sees them (idempotent overwrite of round=resumed).
+    fmt.write_delta(rebuilt, _neg_dir(cfg), resumed)
+    return load_neg_keys(spark, cfg, resumed)
 
 
 def discover_outlinks(fetched_pages: DataFrame) -> DataFrame:
@@ -169,6 +236,10 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     fmt = cfg.table_format
     resumed = last_complete_round(cfg)
     neg = _load_neg_cache(spark, cfg, resumed)
+    # The committed frontier is re-read (reconstructed) each round and used
+    # by several jobs (pop, bloom, anti-join, transitions, stats); one
+    # persist per round keeps the MERGE-on-read window from replaying.
+    persisted_frontier: Optional[DataFrame] = None
     if resumed is None:
         if cfg.seeds_per_round is None:
             frontier = all_seeds
@@ -178,7 +249,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             ).drop("_seed_rank")
         next_round = 0
     else:
-        frontier = load_frontier(spark, cfg, resumed)
+        frontier = load_frontier(spark, cfg, resumed).persist()
+        persisted_frontier = frontier
         next_round = resumed + 1
 
     pages_kv = pages.select(
@@ -290,19 +362,33 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         templates = templates.select(*TEMPLATE_COLUMNS).withColumn("round", F.lit(rnd))
         rdir = _round_dir(cfg, rnd)
         fmt.write_snapshot(templates, os.path.join(rdir, "templates"))
-        fmt.write_snapshot(frontier_next, os.path.join(rdir, "frontier"))
-        frontier = fmt.read_snapshot(spark, os.path.join(rdir, "frontier"))
 
-        # Roll the cumulative negative cache forward: previous snapshot ∪
-        # this round's committed delta keys, all file-backed (no lineage
-        # recursion across rounds).
+        # Frontier commit: durable bytes are O(|touched rows|) — only the
+        # state transitions + new admissions of this round go to disk; a
+        # compacted full snapshot every compact_every rounds bounds the
+        # number of delta partitions MERGE-on-read has to fold.
+        if rnd % cfg.compact_every == 0:
+            fmt.write_snapshot(frontier_next, os.path.join(rdir, "frontier"))
+        else:
+            fmt.write_delta(
+                frontier_next.where(F.col("updated_round") == rnd),
+                _frontier_delta_dir(cfg), rnd,
+            )
+        frontier = load_frontier(spark, cfg, rnd).persist()
+        if persisted_frontier is not None:
+            persisted_frontier.unpersist()
+        persisted_frontier = frontier
+
+        # Negative-cache delta: append only this round's committed keys;
+        # readers take one partition-pruned scan of the whole directory
+        # (keys are append-only, so the union of deltas IS the cumulative
+        # set — no per-round cumulative rewrite, no lineage recursion).
         delta = fmt.read_snapshot(spark, os.path.join(rdir, "templates"))
         n_templates = delta.count()
-        neg_next = delta.select("template", "parsed_template")
-        if neg is not None:
-            neg_next = neg.unionByName(neg_next)
-        fmt.write_snapshot(neg_next, _neg_path(cfg, rnd))
-        neg = fmt.read_snapshot(spark, _neg_path(cfg, rnd))
+        fmt.write_delta(
+            delta.select("template", "parsed_template"), _neg_dir(cfg), rnd
+        )
+        neg = load_neg_keys(spark, cfg, rnd)
         # ONE stats job over the committed snapshot derives everything else —
         # recounting `new_rows`/`popped` directly would re-execute the whole
         # discovery anti-join / politeness window a second time.
@@ -344,6 +430,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
 
         if state_counts.get(FR.STATE_PENDING, 0) == 0 and not seeds_remain:
             break
+    if persisted_frontier is not None:
+        persisted_frontier.unpersist()
     if cfg.seeds_per_round is not None:
         all_seeds.unpersist()
     return metrics_log
