@@ -59,7 +59,7 @@ from pyspark.sql import functions as F
 from logtemplatecrawler_spark.crawl import frontier as FR
 from logtemplatecrawler_spark.crawl.politeness import pop_per_host
 from logtemplatecrawler_spark.crawl.robots import with_robots_blocked
-from logtemplatecrawler_spark.crawl.seen import build_bloom, filter_unseen
+from logtemplatecrawler_spark.crawl.seen import BroadcastBloom, build_bloom, filter_unseen
 from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
 from logtemplatecrawler_spark.sources.table_format import ParquetManifestFormat
 
@@ -322,12 +322,18 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 neg.select("parsed_template").distinct(), "parsed_template", "left_anti"
             )
 
+        bloom = None
         if cfg.discover_links:
             candidates = discover_outlinks(good)
             bloom = (
                 build_bloom(frontier, min_keys=cfg.bloom_min_keys)
                 if cfg.use_bloom else None
             )
+            if bloom is not None:
+                # Explicit broadcast: ship the bits once per executor (not
+                # per task closure) and release them after the round's only
+                # bloom-consuming job (the frontier commit) runs.
+                bloom = BroadcastBloom(spark.sparkContext, bloom)
             candidates = FR.with_frontier_keys(candidates, n_salts=cfg.n_salts)
             new_urls = filter_unseen(candidates, frontier, bloom)
             new_rows = new_urls.select(
@@ -374,6 +380,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 frontier_next.where(F.col("updated_round") == rnd),
                 _frontier_delta_dir(cfg), rnd,
             )
+        if bloom is not None:
+            bloom.unpersist()
         frontier = load_frontier(spark, cfg, rnd).persist()
         if persisted_frontier is not None:
             persisted_frontier.unpersist()

@@ -22,13 +22,18 @@ Scale design (VERDICT r01 items 2/3 — no driver ``collect()`` of raw keys,
 no per-row Python UDF):
 
 * the bit array is built DISTRIBUTED: probe positions are native int64
-  column arithmetic, reduced with one ``groupBy(word).bit_or`` shuffle, and
-  only the packed words (≤ size/64 rows, ~1/128 of the raw-hash volume)
-  reach the driver — Spark's own ``bloom_filter_agg`` is not in the public
+  column arithmetic, reduced with one ``groupBy(word).bit_or`` shuffle,
+  then packed into 64 KiB binary CHUNK rows (8192 words each) before the
+  driver collect — the driver receives ≤ size/2^19 compact binary rows
+  (≤ 16384 rows even at the 2^33-bit cap), never per-word Row objects
+  (VERDICT r02 item 3: 2^27 Rows of Python overhead died long before the
+  advertised cap) — Spark's own ``bloom_filter_agg`` is not in the public
   function registry in this build, so the same treeAggregate shape is
   expressed relationally;
-* membership runs as an Arrow-batched pandas UDF (numpy bit indexing over
-  the broadcast byte array), never row-at-a-time Python.
+* membership runs as an Arrow-batched pandas UDF (numpy bit indexing);
+  at GiB sizes the bits ship via an explicit ``sc.broadcast``
+  (:class:`BroadcastBloom`) — once per executor, torrent-style, released
+  per round — instead of riding inside every task's closure.
 
 The pure-Python :class:`HashBloom` stays as the executable spec — the
 distributed build is asserted bit-identical to it in tests/test_operators.py.
@@ -86,6 +91,12 @@ def _bloom_size(n_keys: int, bits_per_key: int = 12) -> int:
     return max(64, 1 << (max(1, n_keys) * bits_per_key).bit_length())
 
 
+# 8192 words = 64 KiB of bits per collected chunk row: the driver collect is
+# bounded by size/2^19 rows (16384 at the 2^33-bit cap) of compact binary.
+_CHUNK_WORDS = 8192
+_CHUNK_SHIFT = 13
+
+
 def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
                 max_bits: int = 1 << 33,
                 min_keys: int = 0) -> Optional[HashBloom]:
@@ -93,13 +104,15 @@ def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
 
     Probe positions are computed with native column arithmetic (the exact
     integer twin of :meth:`HashBloom._probes`), packed into 64-bit words
-    with one ``groupBy(word_idx).bit_or`` shuffle, and only the populated
-    words are collected (≤ size/64 rows — for 2M keys that is ~512k compact
-    rows instead of 2M raw hash Rows).  Returns None above ``max_bits``
-    (1 GiB of bits ≈ 700M keys) or below ``min_keys`` (the build is two
-    Spark jobs; under ~10^4 keys the plain anti-join is cheaper than
-    building the prune) — callers then rely on the exact anti-join alone,
-    which stays the decider either way.
+    with one ``groupBy(word_idx).bit_or`` shuffle, then aggregated into
+    fixed 64 KiB binary chunks (``applyInPandas`` per 8192-word group) so
+    the driver collects ≤ size/2^19 binary rows — the collect volume is the
+    bit-array size itself plus negligible row overhead, so the ``max_bits``
+    cap is the real driver-memory bound (2^33 bits = 1 GiB collected ≈ 700M
+    keys; VERDICT r02 item 3).  Returns None above ``max_bits`` or below
+    ``min_keys`` (the build is two Spark jobs; under ~10^4 keys the plain
+    anti-join is cheaper than building the prune) — callers then rely on
+    the exact anti-join alone, which stays the decider either way.
     """
     n_keys = frontier.count()
     if n_keys < min_keys:
@@ -108,6 +121,7 @@ def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
     if size > max_bits:
         return None
     mask = size - 1
+    n_words = size // 64
 
     h = F.col("url_hash")
     h1 = h.bitwiseAND(F.lit(_MASK32))
@@ -123,24 +137,61 @@ def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
         )
         .groupBy("word_idx")
         .agg(F.bit_or("w").alias("word"))
+    )
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        chunk = int(pdf["chunk"].iloc[0])
+        base = chunk * _CHUNK_WORDS
+        n = min(_CHUNK_WORDS, n_words - base)
+        part = np.zeros(n, dtype=np.int64)
+        part[pdf["word_idx"].to_numpy(dtype=np.int64) - base] = (
+            pdf["word"].to_numpy(dtype=np.int64)
+        )
+        # int64 little-endian words give exactly HashBloom's byte layout
+        # (bit k of the array is byte k>>3, bit k&7).
+        return pd.DataFrame({"chunk": [chunk], "data": [part.astype("<i8").tobytes()]})
+
+    chunks = (
+        words.withColumn("chunk", F.shiftright("word_idx", _CHUNK_SHIFT))
+        .groupBy("chunk")
+        .applyInPandas(_pack, "chunk long, data binary")
         .collect()
     )
-    arr = np.zeros(size // 64, dtype=np.int64)
-    for r in words:
-        arr[r["word_idx"]] = r["word"]
-    # HashBloom packs bits little-endian within bytes: bit k of the array is
-    # byte k>>3, bit k&7 — int64 little-endian words give exactly that layout.
-    return HashBloom.from_bits(arr.astype("<i8").tobytes(), mask)
+    arr = np.zeros(n_words, dtype="<i8")
+    for r in chunks:
+        base = r["chunk"] * _CHUNK_WORDS
+        part = np.frombuffer(r["data"], dtype="<i8")
+        arr[base:base + len(part)] = part
+    return HashBloom.from_bits(arr.tobytes(), mask)
 
 
-def _might_contain_udf(bloom: HashBloom):
-    """Vectorized membership test: numpy bit indexing over the (closure-
-    captured, Arrow-batched) byte array."""
-    bits = np.frombuffer(bloom.bits, dtype=np.uint8)
+class BroadcastBloom:
+    """Bloom bits shipped via explicit ``sc.broadcast`` — the documented
+    contract at GiB sizes: closure capture re-ships the bits inside every
+    task binary, a broadcast ships them once per executor and is released
+    per crawl round with :meth:`unpersist`."""
+
+    __slots__ = ("mask", "_bcast")
+
+    def __init__(self, sc, bloom: HashBloom):
+        self.mask = bloom.mask
+        self._bcast = sc.broadcast(np.frombuffer(bloom.bits, dtype=np.uint8))
+
+    def unpersist(self) -> None:
+        self._bcast.unpersist()
+
+
+def _might_contain_udf(bloom):
+    """Vectorized membership test: numpy bit indexing over the Arrow-batched
+    byte array.  Accepts a :class:`HashBloom` (closure-captured bits — fine
+    at MB sizes) or a :class:`BroadcastBloom` (explicit broadcast fetch)."""
+    bcast = getattr(bloom, "_bcast", None)
+    local_bits = None if bcast is not None else np.frombuffer(bloom.bits, dtype=np.uint8)
     mask = np.uint64(bloom.mask)
 
     @F.pandas_udf(BooleanType())
     def might(hashes: pd.Series) -> pd.Series:
+        bits = bcast.value if bcast is not None else local_bits
         h = hashes.to_numpy(dtype=np.int64).view(np.uint64)
         h1 = h & np.uint64(_MASK32)
         h2 = (h >> np.uint64(32)) | np.uint64(1)
@@ -155,8 +206,9 @@ def _might_contain_udf(bloom: HashBloom):
 
 
 def filter_unseen(candidates: DataFrame, frontier: DataFrame,
-                  bloom: Optional[HashBloom] = None) -> DataFrame:
-    """Candidates (url, url_hash, …) not present in the frontier (exact)."""
+                  bloom=None) -> DataFrame:
+    """Candidates (url, url_hash, …) not present in the frontier (exact).
+    ``bloom`` may be a :class:`HashBloom` or :class:`BroadcastBloom`."""
     if bloom is None:
         return candidates.join(frontier.select("url"), on="url", how="left_anti")
 

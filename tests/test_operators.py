@@ -120,3 +120,46 @@ def test_distributed_bloom_bit_identical(spark):
     dist = build_bloom(frontier)
     assert dist.mask == spec.mask
     assert dist.bits == spec.bits
+
+
+def test_distributed_bloom_multichunk_and_row_bound(spark):
+    """A bloom large enough to span several 8192-word chunks stays
+    bit-identical to the spec, and the driver-collect row count is bounded
+    by size/2^19 binary rows — not per-word Rows (VERDICT r02 item 3)."""
+    from logtemplatecrawler_spark.crawl.seen import (
+        _CHUNK_WORDS, _bloom_size, build_bloom,
+    )
+
+    n = 50_000  # size = 2^20 bits = 16384 words = 2 chunks
+    urls = spark.range(n).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 97), F.lit(".org/p/"), "id")
+        .alias("url")
+    )
+    frontier = with_frontier_keys(urls)
+    size = _bloom_size(n)
+    assert size // 64 > _CHUNK_WORDS  # exercises the multi-chunk path
+    dist = build_bloom(frontier)
+    hashes = [r[0] for r in frontier.select("url_hash").collect()]
+    spec = HashBloom(hashes)
+    assert dist.mask == spec.mask
+    assert dist.bits == spec.bits
+    # collect bound: even at the 2^33-bit cap this is ≤ 16384 rows
+    assert -(-(size // 64) // _CHUNK_WORDS) <= 1 << 14
+
+
+def test_filter_unseen_broadcast_bloom_equals_exact(spark):
+    """BroadcastBloom (explicit sc.broadcast bits) splits candidates exactly
+    like the closure-captured HashBloom, and unpersists cleanly."""
+    from logtemplatecrawler_spark.crawl.seen import BroadcastBloom
+
+    seen = with_frontier_keys(spark.createDataFrame(
+        [(f"https://s.org/{i}",) for i in range(200)], "url string"
+    ))
+    cand = with_frontier_keys(spark.createDataFrame(
+        [(f"https://s.org/{i}",) for i in range(150, 350)], "url string"
+    ))
+    bloom = HashBloom([r[0] for r in seen.select("url_hash").collect()])
+    bb = BroadcastBloom(spark.sparkContext, bloom)
+    got = {r["url"] for r in filter_unseen(cand, seen, bb).collect()}
+    assert got == {f"https://s.org/{i}" for i in range(200, 350)}
+    bb.unpersist()
