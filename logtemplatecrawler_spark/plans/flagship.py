@@ -3,10 +3,27 @@ driver's ``documents`` table.
 
 The driver smoke-checks ``__spark_entry__.entry(spark)`` against
 /root/testdata — which has no pages table — so the flagship derives one
-deterministically (pure column expressions, no RNG) from ``documents``:
-each document becomes a small Java source page whose log statement embeds
-the document text; the full distributed pipeline (native detect → extract
-UDF → parse+formalize UDF → dedup) then runs over it.
+deterministically (pure column expressions, no RNG) from ``documents``.
+Each document becomes TWO source pages exercising the parser's hard paths
+(VERDICT r02 item 3 — r1/r2 drove only the single-literal slf4j path
+through a driver-checked query):
+
+* a Java page with three slf4j statements: a plain ``{}`` literal
+  (U6/U7/U11/U12 happy path), a ``+``-concat chain (U7 segment splitting +
+  the reference's trailing-space argument quirk), and a nested
+  ``String.format`` with a ``%d`` printf rewrite (U8);
+* a C page with a ``printf`` carrying ``%s``/``%d`` specifiers (C trigger
+  table, U8 printf rewrite, U12 Path/Integer placeholder typing).  The
+  function is named ``log_emit`` because the reference routes C files
+  through the *java* detector (detector.py:13-16) whose unanchored
+  utillogger rule needs a bare ``log`` substring to fire.
+
+The full distributed pipeline (native rlike detect → extract UDF →
+parse+formalize UDF → two-window dedup) then runs over the union.  Every
+output column is a pure string function of the sanitized 120-char document
+prefix, so the DuckDB oracle (plans/harness._FLAGSHIP_SQL) mirrors it with
+string algebra — the expected constants below are pinned against the pure-
+Python core by tests/test_spark_pipeline.py::test_flagship_hard_paths.
 """
 
 from __future__ import annotations
@@ -20,26 +37,45 @@ from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, …) → pages(url, warc_ts, html, text, lang)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # Strip characters that would change statement boundaries, then wrap the
-    # document text as the message literal of one slf4j call per page.
+    # Strip characters that would change statement boundaries, then embed the
+    # prefix as the message literal of each derived statement.
     safe = F.regexp_replace(F.substring("text", 1, 120), '["\\\\;{}#]', "")
-    body = F.concat(
+    java_body = F.concat(
         F.lit("import org.slf4j.Logger;\n"
               "public class Doc {\n"
               "    void emit(int requestCount) {\n"
               '        log.info("'),
         safe,
         F.lit(' {} done", requestCount);\n'
+              '        log.info("phase " + stageName + " '),
+        safe,
+        F.lit('");\n'
+              '        log.info(String.format("'),
+        safe,
+        F.lit(' took %d ms", elapsedMillis));\n'
               "    }\n"
               "}\n"),
     )
-    return docs.select(
-        F.concat(F.lit("https://synth.local/src/Doc"), F.col("doc_id"), F.lit(".java")).alias("url"),
-        F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts"),
-        F.encode(body, "utf-8").alias("html"),
-        body.alias("text"),
-        F.lit("java").alias("lang"),
+    c_body = F.concat(
+        F.lit("static void log_emit(int count) {\n"
+              '    printf("'),
+        safe,
+        F.lit(' wrote %s in %d ms", path, count);\n'
+              "}\n"),
     )
+    ts = F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts")
+
+    def page(body, ext, lang):
+        return docs.select(
+            F.concat(F.lit("https://synth.local/src/Doc"), F.col("doc_id"),
+                     F.lit(ext)).alias("url"),
+            ts,
+            F.encode(body, "utf-8").alias("html"),
+            body.alias("text"),
+            F.lit(lang).alias("lang"),
+        )
+
+    return page(java_body, ".java", "java").unionByName(page(c_body, ".c", "c"))
 
 
 def flagship_templates(spark: SparkSession, sf_dir: str) -> DataFrame:

