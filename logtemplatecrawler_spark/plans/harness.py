@@ -468,9 +468,13 @@ def dedup_minhash(spark, sf_dir):
 def dedup_lsh_pairs(spark, sf_dir):
     """LSH banding (4 bands × 2 rows): equality self-join per band — each
     band is a shuffle-join on a compact key, no quadratic pair scan.
-    Signatures are persisted: 4 bands × 2 join sides would otherwise
-    recompute the minhash aggregation 8×."""
-    sigs = dedup_minhash(spark, sf_dir).persist()
+    Signatures are materialized once via localCheckpoint: 4 bands × 2 join
+    sides would otherwise recompute the minhash aggregation 8×, and a
+    .persist() here would outlive the query (CacheManager entries survive
+    until an explicit unpersist, which a lazily-returned DataFrame cannot
+    schedule — ADVICE r02); localCheckpointed blocks are GC-cleaned with
+    the DataFrame."""
+    sigs = dedup_minhash(spark, sf_dir).localCheckpoint()
     bands = []
     for band in range(4):
         k0, k1 = f"mh{2 * band}", f"mh{2 * band + 1}"
@@ -760,11 +764,15 @@ def mm_binary_meta(spark, sf_dir):
     FROM fr
 """)
 def mm_frame_sample(spark, sf_dir):
-    """Multimodal frame sampling: every 4th 32-byte "frame" of an opaque
-    binary payload is sliced and fingerprinted inside a mapInPandas stage
-    (Arrow binary batches) — the plumbing shape of video frame-sampling /
-    audio chunking, with the codec swapped for a byte slicer the SQL oracle
-    can mirror (real decoders slot into `_sample`; libs absent here)."""
+    """Multimodal frame sampling: every 4th 32-CHARACTER "frame" of an
+    opaque binary payload is decoded, sliced and fingerprinted inside a
+    mapInPandas stage (Arrow binary batches) — the plumbing shape of video
+    frame-sampling / audio chunking, with the codec swapped for a slicer
+    the SQL oracle can mirror (real decoders slot into `_sample`; libs
+    absent here).  Frames are character slices on BOTH sides (DuckDB
+    substr/length are character-based) so non-ASCII corpora agree —
+    ADVICE r02: byte-slicing here silently diverged off-ASCII; pinned by
+    tests/test_harness.py::test_mm_frame_sample_non_ascii."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload")
     )
@@ -776,12 +784,13 @@ def mm_frame_sample(spark, sf_dir):
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                buf = bytes(payload)
-                n_frames = -(-len(buf) // 32)
+                txt = bytes(payload).decode("utf-8")
+                n_frames = -(-len(txt) // 32)
                 for i in range(0, n_frames, 4):
                     ids.append(doc_id)
                     idxs.append(i)
-                    sigs.append(hashlib.md5(buf[i * 32:i * 32 + 32]).hexdigest())
+                    frame = txt[i * 32:i * 32 + 32]
+                    sigs.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sig": sigs})
 
     return docs.mapInPandas(
@@ -1038,11 +1047,13 @@ def ann_lsh_bucket_search(spark, sf_dir):
     bucket_udf = make_lsh_bucket(_SEARCH_PLANES)
     emb = _t(spark, sf_dir, "embeddings")
     # At warehouse scale `buckets` is a materialized index column written at
-    # ingest (and the bucket is the partition key); the persist stands in —
-    # without it the probe and the candidate cut each rescan + re-hash.
+    # ingest (and the bucket is the partition key); the localCheckpoint
+    # stands in — without it the probe and the candidate cut each rescan +
+    # re-hash, and a .persist() would leak a session-lifetime CacheManager
+    # entry no caller can unpersist (ADVICE r02).
     buckets = emb.select(
         "vec_id", bucket_udf(F.col("embedding")).alias("bucket")
-    ).persist()
+    ).localCheckpoint()
     qb = buckets.where(F.col("vec_id") == 0).select(F.col("bucket").alias("qbucket"))
     cand = (
         buckets.join(F.broadcast(qb), F.col("bucket") == F.col("qbucket"))
@@ -1127,13 +1138,14 @@ def ann_ivf_search(spark, sf_dir):
     )
     w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), F.col("k"))
     # The assignment table is the IVF index — one row per vector, built once
-    # (persisted here; written as a partition column at warehouse scale).
-    # Without it the probe and the candidate cut each replay the full
-    # centroid-distance aggregation over a fresh scan.
+    # (localCheckpointed here; written as a partition column at warehouse
+    # scale).  Without it the probe and the candidate cut each replay the
+    # full centroid-distance aggregation over a fresh scan; a .persist()
+    # would leak past the query's lifetime (ADVICE r02).
     assign = (
         dists.withColumn("rn", F.row_number().over(w))
         .where(F.col("rn") == 1)
-        .persist()
+        .localCheckpoint()
     )
     probe = assign.where(F.col("vec_id") == 0).select(F.col("k").alias("pk"))
     cand = (

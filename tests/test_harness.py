@@ -76,3 +76,30 @@ def test_rows_only_queries_run(spark, name):
     assert df1.columns == df2.columns
     assert r1 == r2
     assert len(r1) > 0
+
+
+def test_mm_frame_sample_non_ascii(spark, tmp_path):
+    """Frames are CHARACTER slices on both engines: a non-ASCII corpus must
+    agree in frame count and frame_sig (ADVICE r02 — the pandas stage used
+    to slice utf-8 bytes while DuckDB substr slices characters)."""
+    rows = [
+        (1, "héllo wörld — naïve café " * 8),
+        (2, "日本語のテキストです。" * 15),
+        (3, "plain ascii words only here " * 5),
+        (4, "mixed ascii → ünïcode ↔ text " * 6),
+    ]
+    d = str(tmp_path)
+    spark.createDataFrame(rows, "doc_id bigint, text string").coalesce(1) \
+        .write.parquet(d + "/documents.parquet")
+    sdf = QUERIES["mm_frame_sample"](spark, d)
+    srows = sorted(tuple(r) for r in sdf.collect())
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{d}/documents.parquet/*.parquet')"
+    )
+    drows = sorted(tuple(r) for r in con.execute(ORACLES["mm_frame_sample"]).fetchall())
+    con.close()
+    assert len(srows) > 4
+    assert srows == drows
