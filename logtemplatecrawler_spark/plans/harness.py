@@ -400,14 +400,14 @@ _MINHASH_P = 2147483647
 _MINHASH_COEF = [(2, 1), (3, 7), (5, 11), (7, 13), (11, 17), (13, 19), (17, 23), (19, 29)]
 
 
-def _minhash_sql_core() -> str:
+def _shingle_sig_sql(coefs) -> str:
     # Shingles are word BIGRAMS: the fixture vocabulary is tiny (~31 words),
     # so unigram word-sets collide across most documents and LSH buckets
     # degenerate; bigrams restore discriminative sets.  1-based list
     # indexing in both engines (DuckDB ws[i], Spark element_at).
     mins = ",\n           ".join(
         f"min(((hw % {_MINHASH_P}) * {a} + {b}) % {_MINHASH_P}) AS mh{i}"
-        for i, (a, b) in enumerate(_MINHASH_COEF)
+        for i, (a, b) in enumerate(coefs)
     )
     return f"""
     WITH toks AS (
@@ -426,12 +426,14 @@ def _minhash_sql_core() -> str:
     )"""
 
 
-@_q("dedup_minhash_signatures", sql=_minhash_sql_core() + """
-    SELECT * FROM sigs
-""")
-def dedup_minhash(spark, sf_dir):
-    """MinHash signatures (8 permutations) over word-bigram shingles,
-    portable md5-derived hashes — the scale path for near-dup at 100 TB."""
+def _minhash_sql_core() -> str:
+    return _shingle_sig_sql(_MINHASH_COEF)
+
+
+def _shingle_hashes(spark, sf_dir):
+    """documents → (doc_id, hw): distinct word-bigram shingles hashed to a
+    portable 60-bit integer — shared by the fixed-8-perm and the
+    threshold-parameterized minhash plans."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
         F.size("ws") >= 2
@@ -445,15 +447,27 @@ def dedup_minhash(spark, sf_dir):
             )
         ).alias("w"),
     ).distinct()
-    hashed = shingles.select(
+    return shingles.select(
         "doc_id",
         F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hw"),
     )
+
+
+def _minhash_sigs(spark, sf_dir, coefs):
     aggs = [
         F.min(((F.col("hw") % _MINHASH_P) * a + b) % _MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(_MINHASH_COEF)
+        for i, (a, b) in enumerate(coefs)
     ]
-    return hashed.groupBy("doc_id").agg(*aggs)
+    return _shingle_hashes(spark, sf_dir).groupBy("doc_id").agg(*aggs)
+
+
+@_q("dedup_minhash_signatures", sql=_minhash_sql_core() + """
+    SELECT * FROM sigs
+""")
+def dedup_minhash(spark, sf_dir):
+    """MinHash signatures (8 permutations) over word-bigram shingles,
+    portable md5-derived hashes — the scale path for near-dup at 100 TB."""
+    return _minhash_sigs(spark, sf_dir, _MINHASH_COEF)
 
 
 @_q("dedup_lsh_candidate_pairs", sql=_minhash_sql_core() + """
@@ -489,6 +503,67 @@ def dedup_lsh_pairs(spark, sf_dir):
     out = bands[0]
     for b in bands[1:]:
         out = out.unionByName(b)
+    return out.distinct()
+
+
+# Threshold-parameterized banding: 16 perms at a 0.7 Jaccard target →
+# lsh_banding picks 4 bands × 4 rows (S-curve midpoint (1/4)^(1/4) ≈ 0.707).
+_TUNED_THRESHOLD = 0.7
+_TUNED_PERMS = 16
+
+
+def _lsh_tuned_sql() -> str:
+    from logtemplatecrawler_spark.operators.minhash import (
+        lsh_banding, minhash_coefficients,
+    )
+
+    coefs = minhash_coefficients(_TUNED_PERMS)
+    bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
+    conds = "\n       OR ".join(
+        "(" + " AND ".join(
+            f"a.mh{band * rows + j} = b.mh{band * rows + j}" for j in range(rows)
+        ) + ")"
+        for band in range(bands)
+    )
+    return _shingle_sig_sql(coefs) + f"""
+    SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+    FROM sigs a JOIN sigs b
+      ON a.doc_id < b.doc_id
+     AND ({conds})
+"""
+
+
+@_q("dedup_lsh_pairs_tuned", sql=_lsh_tuned_sql())
+def dedup_lsh_pairs_tuned(spark, sf_dir):
+    """Threshold-PARAMETERIZED LSH banding (VERDICT r02 item 7): (bands,
+    rows) are derived from the target Jaccard threshold via the S-curve
+    midpoint (1/b)^(1/r) — 16 perms at τ=0.7 resolve to 4 bands × 4 rows,
+    P(candidate | s) = 1-(1-s^4)^4 (operators/minhash.py, with the fixture
+    S-curve property-tested against exact shingle Jaccard in
+    tests/test_harness.py::test_lsh_tuned_s_curve).  Plan shape is the
+    scale shape: per-band equality self-joins on compact keys over
+    signatures materialized once — never an all-pairs scan; the SQL oracle
+    is generated from the same (coefficients, bands, rows) constants."""
+    from logtemplatecrawler_spark.operators.minhash import (
+        lsh_banding, minhash_coefficients,
+    )
+
+    coefs = minhash_coefficients(_TUNED_PERMS)
+    bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
+    sigs = _minhash_sigs(spark, sf_dir, coefs).localCheckpoint()
+    out = None
+    for band in range(bands):
+        keys = [f"mh{band * rows + j}" for j in range(rows)]
+        left = sigs.select(F.col("doc_id").alias("doc_a"),
+                           *[F.col(k).alias(f"b{j}") for j, k in enumerate(keys)])
+        right = sigs.select(F.col("doc_id").alias("doc_b"),
+                            *[F.col(k).alias(f"b{j}") for j, k in enumerate(keys)])
+        pairs = (
+            left.join(right, [f"b{j}" for j in range(rows)])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
     return out.distinct()
 
 

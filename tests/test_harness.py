@@ -103,3 +103,53 @@ def test_mm_frame_sample_non_ascii(spark, tmp_path):
     con.close()
     assert len(srows) > 4
     assert srows == drows
+
+
+def test_lsh_tuned_s_curve(spark):
+    """Property test (VERDICT r02 item 7): the threshold-parameterized LSH
+    candidates follow the banding S-curve against EXACT bigram-shingle
+    Jaccard on the bounded doc_id<200 slice — identical pairs are always
+    candidates (s=1 ⇒ every band agrees, a theorem), pairs well above the
+    τ=0.7 target are mostly candidates, pairs well below mostly are not."""
+    from logtemplatecrawler_spark.operators.minhash import (
+        candidate_probability, lsh_banding,
+    )
+    from logtemplatecrawler_spark.plans.harness import (
+        _TUNED_PERMS, _TUNED_THRESHOLD,
+    )
+
+    bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
+    assert bands * rows == _TUNED_PERMS
+    assert abs((1 / bands) ** (1 / rows) - _TUNED_THRESHOLD) < 0.05
+    assert candidate_probability(1.0, bands, rows) == 1.0
+
+    # exact shingle Jaccard, pure python (the exactness oracle)
+    con = duckdb.connect()
+    docs = con.execute(
+        f"SELECT doc_id, text FROM read_parquet('{SF_DIR}/documents.parquet')"
+        " WHERE doc_id < 200"
+    ).fetchall()
+    con.close()
+    shingle_sets = {}
+    for doc_id, text in docs:
+        ws = text.split(" ")
+        if len(ws) >= 2:
+            shingle_sets[doc_id] = {f"{ws[i]} {ws[i+1]}" for i in range(len(ws) - 1)}
+    ids = sorted(shingle_sets)
+    exact = {}
+    for i, a in enumerate(ids):
+        for b in ids[i + 1:]:
+            inter = len(shingle_sets[a] & shingle_sets[b])
+            if inter:
+                exact[(a, b)] = inter / len(shingle_sets[a] | shingle_sets[b])
+
+    cand = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_lsh_pairs_tuned"](spark, SF_DIR).collect()
+        if r["doc_a"] < 200 and r["doc_b"] < 200
+    }
+    # fixture near-dups sit at s∈[0.9, 0.99]; everything else at s ≤ ~0.15
+    high = {p for p, s in exact.items() if s >= 0.9}
+    low = {p for p, s in exact.items() if s <= 0.3}
+    assert high and high <= cand  # full recall above τ (P≥0.998 per pair)
+    assert low and len(cand & low) / len(low) <= 0.01  # ~no candidates below τ
