@@ -62,25 +62,17 @@ def main() -> None:
     pages_path = os.environ.get("BENCH_PAGES_DIR", f"/tmp/bench_pages_{n_pages}")
     pages = _ensure_bench_pages(spark, n_pages, pages_path)
 
-    timings = {}
-
     # warm the JVM/Python workers off the clock
     pages.limit(8).count()
 
-    t_all = time.monotonic()
-
-    # 1. flagship: full template pipeline over the pages corpus
-    timings["template_pipeline"] = _run(extract_templates(pages, dedup=True))
-
-    # 2. crawl pop shape: per-host politeness window over the page corpus
+    # crawl pop shape: per-host politeness window over the page corpus
     frontier_like = pages.select(
         "url", url_host(F.col("url")).alias("host"),
         (F.xxhash64("url") % 1000).alias("priority"),
         F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").alias("salt"),
     )
-    timings["politeness_pop"] = _run(pop_per_host(frontier_like, budget=2))
-
-    # 3. heavy relational / training-data operators at the sf dir
+    # heavy relational / training-data operators at the sf dir (set kept
+    # identical to r1/r2 for cross-round comparability)
     headline = [
         "s10_export_union_sample",
         "a1_mode_majority_vote",
@@ -92,10 +84,30 @@ def main() -> None:
         "text_quality_score",
         "mm_binary_meta",
     ]
-    for name in headline:
-        timings[name] = _run(harness.QUERIES[name](spark, sf_dir))
 
-    total = time.monotonic() - t_all
+    def one_pass():
+        t = {}
+        t_all = time.monotonic()
+        t["template_pipeline"] = _run(extract_templates(pages, dedup=True))
+        t["politeness_pop"] = _run(pop_per_host(frontier_like, budget=2))
+        for name in headline:
+            t[name] = _run(harness.QUERIES[name](spark, sf_dir))
+        return t, time.monotonic() - t_all
+
+    # Min-of-N: this VM's CPU steal arrives in multi-second bursts that
+    # evade /proc/stat (BASELINE.md), so a single-pass number is a coin
+    # flip; the min over interleaved passes is the honest estimator and
+    # matches how BASELINE.md's quiet-window records are produced
+    # (VERDICT r02 item 8 — compare like with like).
+    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    runs = []
+    per_query = []
+    for _ in range(n_runs):
+        t, tot = one_pass()
+        per_query.append(t)
+        runs.append(tot)
+    timings = {k: min(t[k] for t in per_query) for k in per_query[0]}
+    total = min(runs)
 
     # pipeline throughput extras
     n_stmt = extract_templates(pages, dedup=False).count()
@@ -104,6 +116,7 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "runs_sec": [round(r, 3) for r in runs],
         "sf": sf,
         "bench_pages": n_pages,
         "pages_per_sec": round(n_pages / timings["template_pipeline"], 2),

@@ -163,3 +163,36 @@ def test_filter_unseen_broadcast_bloom_equals_exact(spark):
     got = {r["url"] for r in filter_unseen(cand, seen, bb).collect()}
     assert got == {f"https://s.org/{i}" for i in range(200, 350)}
     bb.unpersist()
+
+
+def test_politeness_mega_host_skew(spark):
+    """Mega-host skew proof (VERDICT r02 item 6): one Zipf-head host with
+    10^6 pending rows among 10^4 single-page hosts.  The salt pre-split
+    must bound every phase-1 task's window input to ~|host|/n_salts, and
+    the salted two-phase pop must equal the unsalted single-window plan
+    exactly (top-k of a union of per-slice top-ks = global top-k)."""
+    from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+
+    n_mega, n_hosts, n_salts, budget = 1_000_000, 10_000, 8, 2
+    mega = spark.range(n_mega).select(
+        F.concat(F.lit("https://mega.example.org/p/"), "id").alias("url")
+    )
+    small = spark.range(n_hosts).select(
+        F.concat(F.lit("https://h"), "id", F.lit(".example.org/p/0")).alias("url")
+    )
+    fr = with_frontier_keys(mega.unionByName(small), n_salts=n_salts).withColumn(
+        "priority", F.pmod(F.xxhash64(F.col("url"), F.lit(7)), F.lit(1000)).cast("int")
+    )
+    # the salt split is the skew bound: no (host, salt) slice materially
+    # exceeds |mega|/n_salts, so no single task sorts the whole head host
+    slice_max = (
+        fr.groupBy("host", "salt").count().agg(F.max("count")).collect()[0][0]
+    )
+    assert slice_max <= int(n_mega / n_salts * 1.2)
+
+    salted = pop_per_host(fr, budget, salted=True)
+    unsalted = pop_per_host(fr, budget, salted=False)
+    a = sorted(r["url"] for r in salted.collect())
+    b = sorted(r["url"] for r in unsalted.collect())
+    assert a == b
+    assert len(a) == budget + n_hosts  # budget from mega + 1 per small host
