@@ -1,0 +1,155 @@
+"""Machine-checked physical-plan shapes for the scale claims in docs/SCALE.md.
+
+Each test pins a claim the docs make about what Catalyst actually emits —
+column pruning at the scan, native filters ahead of the opaque Python
+stages, broadcast on the small join side, map-side window group limits, and
+the bucketed-frontier join needing only ONE exchange (the candidate side).
+A plan regression (e.g. a refactor that moves a filter behind a UDF, or a
+projection that drags ``html`` through the scan) fails here long before it
+shows up as a 100 TB bill.
+"""
+
+import io
+import re
+from contextlib import redirect_stdout
+
+import pytest
+from pyspark.sql import functions as F
+
+from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+from logtemplatecrawler_spark.crawl.politeness import pop_per_host
+from logtemplatecrawler_spark.crawl.robots import with_robots_blocked
+from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
+from logtemplatecrawler_spark.sources.fixtures import write_pages_parquet
+
+
+def _explain(df, mode="simple"):
+    buf = io.StringIO()
+    with redirect_stdout(buf):
+        df.explain(mode=mode)
+    return buf.getvalue()
+
+
+@pytest.fixture(scope="module")
+def pages_parquet(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("scale_plans") / "pages")
+    write_pages_parquet(path, 60, seed=11)
+    return path
+
+
+def test_scan_prunes_html(spark, pages_parquet):
+    """docs/SCALE.md: ``html`` is projected away at the first select, so the
+    parquet ReadSchema must not contain it (html is the biggest column — at
+    100 TB reading it would double the scan)."""
+    plan = _explain(
+        extract_templates(spark.read.parquet(pages_parquet)), "formatted"
+    )
+    read_schemas = re.findall(r"ReadSchema: (.+)", plan)
+    assert read_schemas, plan
+    for rs in read_schemas:
+        assert "html" not in rs, rs
+        assert "warc_ts" not in rs, rs
+
+
+def test_native_filters_precede_python_stages(spark, pages_parquet):
+    """The rlike detect filter must sit BELOW (deeper than, i.e. executed
+    before) the first ArrowEvalPython stage — Catalyst does not reorder
+    predicates through opaque UDFs, so the declared order is physical."""
+    plan = _explain(
+        extract_templates(spark.read.parquet(pages_parquet)), "simple"
+    )
+    lines = plan.splitlines()
+    arrow_idx = [i for i, l in enumerate(lines) if "ArrowEvalPython" in l]
+    # the detect filter runs on the raw `text` column; the statement
+    # pre-filter (F6, also rlike) legitimately sits between the two Python
+    # stages because it filters the *extracted* raws
+    detect_idx = [
+        i for i, l in enumerate(lines) if "Filter" in l and "RLIKE(text" in l
+    ]
+    assert arrow_idx and detect_idx, plan
+    # simple-mode explain prints parents first: deeper = executed earlier =
+    # LARGER line index.  The detect filter must be deeper than every
+    # Python stage.
+    assert min(detect_idx) > max(arrow_idx), plan
+    # exactly two fused Python stages (extract; parse+formalize) — a third
+    # means a UDF stage stopped fusing
+    assert len(arrow_idx) == 2, plan
+
+
+def test_dedup_uses_window_group_limit(spark, pages_parquet):
+    """The keep-first dedup (row_number == 1) must compile to
+    WindowGroupLimit — the map-side top-1 prune that keeps the only wide
+    stage from shuffling every row of every group."""
+    plan = _explain(
+        extract_templates(spark.read.parquet(pages_parquet)), "simple"
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_politeness_pop_uses_window_group_limit(spark):
+    """Both phases of the salted pop (local top-k per (host,salt), global
+    top-k per host) must compile to WindowGroupLimit so each task sorts at
+    most its slice's budget survivors."""
+    pending = with_frontier_keys(
+        spark.range(1000).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                     F.lit(".example.org/p/"), "id").alias("url")
+        )
+    ).withColumn("priority", F.lit(1))
+    plan = _explain(pop_per_host(pending, budget=3), "simple")
+    assert plan.count("WindowGroupLimit") >= 2, plan
+
+
+def test_robots_gate_broadcasts(spark):
+    """The per-host prefix table joins as a broadcast — the frontier side
+    must not shuffle for the robots gate."""
+    frontier = with_frontier_keys(
+        spark.range(1000).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                     F.lit(".example.org/p/"), "id").alias("url")
+        )
+    )
+    robots = spark.createDataFrame(
+        [("h1.example.org", "/private"), ("h2.example.org", "/")],
+        "host string, disallow_prefix string",
+    )
+    plan = _explain(with_robots_blocked(frontier, robots), "simple")
+    assert "BroadcastHashJoin" in plan, plan
+    # no SortMergeJoin / ShuffledHashJoin anywhere in the gate
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_bucketed_frontier_join_is_one_sided(spark, tmp_path):
+    """docs/SCALE.md: at warehouse scale the frontier is bucketed by
+    ``url_hash`` so the seen anti-join / fetch join exchanges only the small
+    candidate side.  Demonstrated here over a native bucketed table: the
+    bucketed join plan must contain exactly one fewer Exchange than the
+    unbucketed plan of the same join."""
+    frontier = spark.range(20_000).select(
+        F.xxhash64(F.col("id").cast("string")).alias("url_hash"),
+        (F.col("id") % 5).alias("state"),
+    )
+    cands = spark.range(700).select(
+        F.xxhash64((F.col("id") * 3).cast("string")).alias("url_hash")
+    )
+    spark.sql("DROP TABLE IF EXISTS frontier_bucketed")
+    (
+        frontier.write.mode("overwrite")
+        .option("path", str(tmp_path / "frontier_bucketed"))
+        .bucketBy(8, "url_hash")
+        .sortBy("url_hash")
+        .saveAsTable("frontier_bucketed")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = _explain(cands.join(frontier, "url_hash", "left_anti"), "simple")
+        bucketed = _explain(
+            cands.join(spark.table("frontier_bucketed"), "url_hash", "left_anti"),
+            "simple",
+        )
+        assert plain.count("Exchange") - bucketed.count("Exchange") == 1, (
+            plain, bucketed,
+        )
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+        spark.sql("DROP TABLE IF EXISTS frontier_bucketed")
