@@ -91,8 +91,10 @@ class CrawlConfig:
     # stay O(|touched rows|) per round.
     compact_every: int = 16
     extra_confs: Dict[str, str] = field(default_factory=dict)
-    # Checkpoint storage backend (parquet+MANIFEST here; Iceberg in prod).
-    table_format: ParquetManifestFormat = field(default_factory=ParquetManifestFormat)
+    # Checkpoint storage backend — any object with the table-format seam's
+    # methods (ParquetManifestFormat, CommitLogFormat, or an ACID format
+    # adapter in production); swapping it is this constructor argument.
+    table_format: object = field(default_factory=ParquetManifestFormat)
 
 
 def _round_dir(cfg: CrawlConfig, rnd: int) -> str:
@@ -167,16 +169,18 @@ def load_neg_keys(spark: SparkSession, cfg: CrawlConfig,
 def read_all_templates(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     """Union of all committed per-round template deltas (one-time export
     read — the per-round loop never does this; it uses the cumulative
-    ``neg_keys`` snapshot)."""
+    ``neg_keys`` snapshot).  Routed through the seam's multi-snapshot read
+    (ONE multi-path call) so it works under any table format."""
+    fmt = cfg.table_format
     last = last_complete_round(cfg)
     paths = [
         os.path.join(_round_dir(cfg, r), "templates")
         for r in range((last or -1) + 1)
-        if os.path.isdir(os.path.join(_round_dir(cfg, r), "templates"))
+        if fmt.snapshot_exists(os.path.join(_round_dir(cfg, r), "templates"))
     ]
     if not paths:
         raise FileNotFoundError(f"no committed template deltas under {cfg.checkpoint_dir}")
-    return spark.read.parquet(*paths)
+    return fmt.read_snapshots(spark, paths)
 
 
 def _load_neg_cache(spark: SparkSession, cfg: CrawlConfig,
@@ -184,9 +188,8 @@ def _load_neg_cache(spark: SparkSession, cfg: CrawlConfig,
     """Cumulative committed-template keys as of the resumed round (None on a
     fresh crawl).  Checkpoints written before the neg_keys delta directory
     existed fall back to a ONE-TIME rebuild from the committed template
-    deltas (an O(rounds)-path read at resume, never per-round; the
-    multi-path parquet read makes this fallback parquet-only by design —
-    a non-parquet format ships with its neg_keys directory intact)."""
+    deltas (an O(rounds)-path read at resume, never per-round), routed
+    through the seam's multi-snapshot read so any table format resumes."""
     if resumed is None:
         return None
     fmt = cfg.table_format
@@ -201,7 +204,7 @@ def _load_neg_cache(spark: SparkSession, cfg: CrawlConfig,
     ]
     if not paths:
         return None
-    rebuilt = spark.read.parquet(*paths).select("template", "parsed_template")
+    rebuilt = fmt.read_snapshots(spark, paths).select("template", "parsed_template")
     # One-time backfill migration: materialize the rebuilt keys as a single
     # delta partition at the resumed round so every later round's
     # ``load_neg_keys`` read sees them (idempotent overwrite of round=resumed).

@@ -45,12 +45,23 @@ from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Optional
+import shutil
+from typing import Dict, List, Optional
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 _MANIFEST = "MANIFEST.json"
+
+
+def _atomic_write_json(path: str, payload) -> None:
+    """Write JSON via tmp-file + ``os.replace`` — the POSIX rename is the
+    atomic pointer swap (readers see the old or the new metadata, never a
+    torn write).  Iceberg's metadata-location swap is the same primitive."""
+    tmp = path + ".tmp"
+    with open(tmp, "w") as fh:
+        json.dump(payload, fh)
+    os.replace(tmp, path)
 
 
 class ParquetManifestFormat:
@@ -61,6 +72,11 @@ class ParquetManifestFormat:
 
     def read_snapshot(self, spark: SparkSession, path: str) -> DataFrame:
         return spark.read.parquet(path)
+
+    def read_snapshots(self, spark: SparkSession, paths: List[str]) -> DataFrame:
+        """Union of several snapshots in ONE multi-path read (used by the
+        one-time export / legacy-rebuild paths, never the round loop)."""
+        return spark.read.parquet(*paths)
 
     def snapshot_exists(self, path: str) -> bool:
         return os.path.isdir(path) and any(
@@ -76,6 +92,8 @@ class ParquetManifestFormat:
         Overwrites only that round's partition — a crashed round's rerun
         replaces its own (deterministic) delta and nothing else.
         """
+        if "round" in df.columns:  # would collide with the partition column
+            raise ValueError("delta rows must not carry a 'round' column")
         df.write.mode("overwrite").parquet(self._delta_path(base_dir, rnd))
 
     def read_deltas(self, spark: SparkSession, base_dir: str,
@@ -130,3 +148,130 @@ class ParquetManifestFormat:
 
     def is_committed(self, round_dir: str) -> bool:
         return os.path.exists(os.path.join(round_dir, _MANIFEST))
+
+
+class CommitLogFormat:
+    """Second seam implementation — Iceberg-shaped metadata over parquet.
+
+    Exists to PROVE the scheduler's claim that swapping the table format is
+    a constructor argument (tests/test_table_format_contract.py runs the
+    full crawl + resume under both formats and asserts identical results).
+    Physical differences from :class:`ParquetManifestFormat`:
+
+    * snapshots are VERSIONED: each ``write_snapshot`` lands in a fresh
+      ``v%06d`` data dir and then atomically swaps a ``_meta.json`` pointer
+      (``os.replace`` — readers see old or new, never torn).  Overwrite
+      does not touch the previous version's files → snapshot isolation,
+      exactly Iceberg's metadata-location swap;
+    * readers NEVER list directories: the data location always comes from
+      the metadata pointer / commit log (Iceberg's manifests);
+    * deltas append an entry to ``_log.json`` (round → data dir); a retried
+      round REPLACES its own entry (old dir garbage-collected best-effort),
+      so a crashed rerun is idempotent; ``read_deltas`` resolves the
+      selected dirs from the log and issues ONE multi-path read (the
+      ``round`` value is materialized as a data column at write, so the
+      range filter prunes on row-group stats);
+    * the commit marker is ``_commit.json`` written with the same atomic
+      replace — proving the scheduler depends only on
+      ``commit_round``/``is_committed`` semantics, not on MANIFEST naming.
+    """
+
+    _META = "_meta.json"
+    _LOG = "_log.json"
+    _COMMIT = "_commit.json"
+
+    # -- snapshots -----------------------------------------------------------
+
+    def write_snapshot(self, df: DataFrame, path: str) -> None:
+        meta_path = os.path.join(path, self._META)
+        version = 0
+        if os.path.exists(meta_path):
+            with open(meta_path) as fh:
+                version = json.load(fh)["version"] + 1
+        data = f"v{version:06d}"
+        df.write.mode("overwrite").parquet(os.path.join(path, data))
+        _atomic_write_json(meta_path, {"version": version, "data": data})
+        # best-effort GC of superseded versions (readers of the old pointer
+        # have already resolved their file lists; the sandbox has no
+        # concurrent readers mid-swap)
+        for name in os.listdir(path):
+            if name.startswith("v") and name != data and not name.endswith(".tmp"):
+                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+    def _resolve(self, path: str) -> str:
+        with open(os.path.join(path, self._META)) as fh:
+            return os.path.join(path, json.load(fh)["data"])
+
+    def read_snapshot(self, spark: SparkSession, path: str) -> DataFrame:
+        return spark.read.parquet(self._resolve(path))
+
+    def read_snapshots(self, spark: SparkSession, paths: List[str]) -> DataFrame:
+        return spark.read.parquet(*[self._resolve(p) for p in paths])
+
+    def snapshot_exists(self, path: str) -> bool:
+        return os.path.exists(os.path.join(path, self._META))
+
+    # -- per-round delta commits ---------------------------------------------
+
+    def _read_log(self, base_dir: str) -> Dict:
+        log_path = os.path.join(base_dir, self._LOG)
+        if not os.path.exists(log_path):
+            return {"serial": 0, "entries": {}}
+        with open(log_path) as fh:
+            return json.load(fh)
+
+    def write_delta(self, df: DataFrame, base_dir: str, rnd: int) -> None:
+        if "round" in df.columns:  # reserved for the range filter
+            raise ValueError("delta rows must not carry a 'round' column")
+        log = self._read_log(base_dir)
+        prev = log["entries"].get(str(rnd))
+        data = f"r{rnd:04d}_{log['serial']:04d}"
+        df.withColumn("round", F.lit(rnd)).write.mode("overwrite").parquet(
+            os.path.join(base_dir, data)
+        )
+        log["entries"][str(rnd)] = data
+        log["serial"] += 1
+        _atomic_write_json(os.path.join(base_dir, self._LOG), log)
+        if prev is not None and prev != data:
+            shutil.rmtree(os.path.join(base_dir, prev), ignore_errors=True)
+
+    def read_deltas(self, spark: SparkSession, base_dir: str,
+                    max_round: int, min_round_exclusive: int = -1
+                    ) -> Optional[DataFrame]:
+        entries = self._read_log(base_dir)["entries"]
+        if not entries:
+            return None
+        dirs = [
+            os.path.join(base_dir, d)
+            for r, d in entries.items()
+            if min_round_exclusive < int(r) <= max_round
+        ]
+        if not dirs:
+            # selection empty but the table exists: derive the (writer)
+            # schema from any committed delta, return it empty
+            any_dir = os.path.join(base_dir, next(iter(entries.values())))
+            return spark.read.parquet(any_dir).where(F.lit(False)).drop("round")
+        df = spark.read.parquet(*dirs)
+        df = df.where(
+            (F.col("round") > min_round_exclusive)
+            & (F.col("round") <= max_round)
+        )
+        return df.drop("round")
+
+    def deltas_exist(self, base_dir: str) -> bool:
+        return bool(self._read_log(base_dir)["entries"])
+
+    def delta_rounds(self, base_dir: str):
+        return sorted(int(r) for r in self._read_log(base_dir)["entries"])
+
+    # -- atomic round commit -------------------------------------------------
+
+    def commit_round(self, round_dir: str, metrics: Optional[Dict] = None) -> None:
+        os.makedirs(round_dir, exist_ok=True)
+        if metrics is not None:
+            with open(os.path.join(round_dir, "metrics.json"), "w") as fh:
+                json.dump(metrics, fh)
+        _atomic_write_json(os.path.join(round_dir, self._COMMIT), {"complete": True})
+
+    def is_committed(self, round_dir: str) -> bool:
+        return os.path.exists(os.path.join(round_dir, self._COMMIT))

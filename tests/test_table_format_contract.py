@@ -1,0 +1,160 @@
+"""Table-format seam contract, proved against BOTH implementations.
+
+The scheduler claims swapping the checkpoint format is a constructor
+argument (sources/table_format.py).  This file makes that claim testable:
+
+* the seam's documented semantics (snapshot overwrite, delta commit /
+  retry idempotence, max_round pruning of uncommitted partitions, atomic
+  commit marker) run parameterized over ``ParquetManifestFormat`` AND
+  ``CommitLogFormat``;
+* a full crawl + kill + resume runs under ``CommitLogFormat`` and must
+  produce the IDENTICAL frontier, template set, and pop order as the
+  parquet-format crawl of the same corpus — the format never leaks into
+  crawl semantics.
+"""
+
+import os
+
+import pytest
+
+from logtemplatecrawler_spark.crawl.scheduler import (
+    CrawlConfig,
+    last_complete_round,
+    load_frontier,
+    read_all_templates,
+    run_crawl,
+)
+from logtemplatecrawler_spark.sources.fixtures import (
+    generate_pages,
+    pages_df,
+    robots_df,
+    seeds_df,
+)
+from logtemplatecrawler_spark.sources.table_format import (
+    CommitLogFormat,
+    ParquetManifestFormat,
+)
+
+FORMATS = [ParquetManifestFormat, CommitLogFormat]
+
+
+@pytest.fixture(params=FORMATS, ids=lambda c: c.__name__)
+def fmt(request):
+    return request.param()
+
+
+def _df(spark, rows, schema="k string, v bigint"):
+    return spark.createDataFrame(rows, schema)
+
+
+def test_snapshot_roundtrip_and_overwrite(spark, fmt, tmp_path):
+    path = str(tmp_path / "snap")
+    assert not fmt.snapshot_exists(path)
+    fmt.write_snapshot(_df(spark, [("a", 1), ("b", 2)]), path)
+    assert fmt.snapshot_exists(path)
+    assert sorted(map(tuple, fmt.read_snapshot(spark, path).collect())) == [
+        ("a", 1), ("b", 2),
+    ]
+    # overwrite fully replaces (no merge of old files into the new read)
+    fmt.write_snapshot(_df(spark, [("c", 3)]), path)
+    assert sorted(map(tuple, fmt.read_snapshot(spark, path).collect())) == [("c", 3)]
+
+
+def test_read_snapshots_multi(spark, fmt, tmp_path):
+    p1, p2 = str(tmp_path / "s1"), str(tmp_path / "s2")
+    fmt.write_snapshot(_df(spark, [("a", 1)]), p1)
+    fmt.write_snapshot(_df(spark, [("b", 2)]), p2)
+    got = sorted(map(tuple, fmt.read_snapshots(spark, [p1, p2]).collect()))
+    assert got == [("a", 1), ("b", 2)]
+
+
+def test_delta_commit_read_and_pruning(spark, fmt, tmp_path):
+    base = str(tmp_path / "deltas")
+    assert fmt.read_deltas(spark, base, max_round=10) is None
+    assert not fmt.deltas_exist(base)
+    fmt.write_delta(_df(spark, [("a", 1)]), base, 0)
+    fmt.write_delta(_df(spark, [("b", 2)]), base, 1)
+    # round 2 written but (conceptually) never committed: a reader resuming
+    # at round 1 must not see it — the max_round filter IS the isolation
+    fmt.write_delta(_df(spark, [("stale", 9)]), base, 2)
+    got = sorted(map(tuple, fmt.read_deltas(spark, base, max_round=1).collect()))
+    assert got == [("a", 1), ("b", 2)]
+    assert fmt.delta_rounds(base) == [0, 1, 2]
+    # min_round_exclusive window
+    got = sorted(map(tuple, fmt.read_deltas(
+        spark, base, max_round=2, min_round_exclusive=0).collect()))
+    assert got == [("b", 2), ("stale", 9)]
+    # empty selection on an existing table: empty result, writer schema
+    empty = fmt.read_deltas(spark, base, max_round=0, min_round_exclusive=0)
+    assert empty.count() == 0
+    assert empty.columns == ["k", "v"]
+
+
+def test_delta_retry_is_idempotent(spark, fmt, tmp_path):
+    """A crashed round's rerun rewrites its own delta; no duplicates."""
+    base = str(tmp_path / "deltas")
+    fmt.write_delta(_df(spark, [("a", 1)]), base, 0)
+    fmt.write_delta(_df(spark, [("first", 1)]), base, 1)
+    fmt.write_delta(_df(spark, [("retry", 2)]), base, 1)  # rerun of round 1
+    got = sorted(map(tuple, fmt.read_deltas(spark, base, max_round=1).collect()))
+    assert got == [("a", 1), ("retry", 2)]
+
+
+def test_commit_marker(spark, fmt, tmp_path):
+    rdir = str(tmp_path / "round=0000")
+    os.makedirs(rdir, exist_ok=True)
+    assert not fmt.is_committed(rdir)
+    fmt.commit_round(rdir, metrics={"n": 1})
+    assert fmt.is_committed(rdir)
+
+
+def test_delta_rejects_reserved_round_column(spark, fmt, tmp_path):
+    df = _df(spark, [("a", 1)]).withColumnRenamed("v", "round")
+    with pytest.raises(Exception):
+        fmt.write_delta(df, str(tmp_path / "d"), 0)
+
+
+# -- the swap proof: full crawl + resume under the second format -------------
+
+N_PAGES = 80
+BUDGET = 2
+MAX_ROUNDS = 6
+
+
+def _crawl(spark, pages, ckpt, fmt, max_rounds=MAX_ROUNDS, compact_every=3):
+    cfg = CrawlConfig(checkpoint_dir=ckpt, host_budget=BUDGET,
+                      max_rounds=max_rounds, compact_every=compact_every,
+                      table_format=fmt)
+    run_crawl(spark, pages_df(spark, N_PAGES, seed=7),
+              seeds_df(spark, pages, seed=7), robots_df(spark, pages, seed=7),
+              cfg)
+    return cfg
+
+
+def test_crawl_identical_across_formats_with_resume(spark, tmp_path):
+    pages = generate_pages(N_PAGES, seed=7)
+
+    ref_cfg = _crawl(spark, pages, str(tmp_path / "pq"), ParquetManifestFormat())
+
+    # commit-log format: kill after 2 rounds, then resume to completion —
+    # exercises load_frontier MERGE-on-read, neg-cache reads, and the
+    # commit marker under the second format
+    clog = str(tmp_path / "clog")
+    _crawl(spark, pages, clog, CommitLogFormat(), max_rounds=2)
+    cl_cfg = _crawl(spark, pages, clog, CommitLogFormat())
+
+    last_ref = last_complete_round(ref_cfg)
+    last_cl = last_complete_round(cl_cfg)
+    assert last_cl == last_ref
+
+    a = {(r["url"], r["state"], r["priority"], r["depth"])
+         for r in load_frontier(spark, ref_cfg, last_ref).collect()}
+    b = {(r["url"], r["state"], r["priority"], r["depth"])
+         for r in load_frontier(spark, cl_cfg, last_cl).collect()}
+    assert a == b
+
+    ta = {(r["url"], r["stmt_idx"], r["template"], r["round"])
+          for r in read_all_templates(spark, ref_cfg).collect()}
+    tb = {(r["url"], r["stmt_idx"], r["template"], r["round"])
+          for r in read_all_templates(spark, cl_cfg).collect()}
+    assert ta == tb
