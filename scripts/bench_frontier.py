@@ -1,0 +1,143 @@
+#!/usr/bin/env python
+"""Frontier-scale microbench: one crawl round's frontier-side operators.
+
+The north metric is "frontier URLs/sec + pages parsed/sec"; bench.py and
+scripts/bench_scaling.py cover pages parsed/sec.  This script measures the
+FRONTIER side at N rows (default 10M = 1/1000 of the 10^10-URL design
+point, ~1.2 GB at the design row width):
+
+  1. ``pop``   — per-host politeness pop (salted two-phase window, W1/W2)
+                 over the pending set;
+  2. ``bloom`` — distributed bloom build over every frontier url_hash
+                 (native probe arithmetic → groupBy(word).bit_or → 64 KiB
+                 chunk collect → explicit broadcast);
+  3. ``seen``  — URL-seen filter of M candidates (50% already in the
+                 frontier, 50% genuinely new): bloom prune + exact
+                 string anti-join decider.
+
+The frontier is generated IN SPARK (deterministic), written to parquet
+off the clock, and read back — so the timed ops include the scan, like the
+real round loop.  Host skew is real: 10% of all rows land on one mega-host,
+the rest spread uniformly, so the salted window faces the Zipf head.
+
+Prints ONE JSON line: per-op seconds + frontier URLs/sec.
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--rows", type=int, default=10_000_000)
+    ap.add_argument("--cands", type=int, default=1_000_000)
+    ap.add_argument("--cores", type=int, default=16)
+    ap.add_argument("--budget", type=int, default=2)
+    ap.add_argument("--n-hosts", type=int, default=100_000)
+    ap.add_argument("--out", default=None)
+    args = ap.parse_args()
+
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    sys.path.insert(0, repo)
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+    from logtemplatecrawler_spark.crawl.politeness import pop_per_host
+    from logtemplatecrawler_spark.crawl.seen import (
+        BroadcastBloom,
+        build_bloom,
+        filter_unseen,
+    )
+    from logtemplatecrawler_spark.session import build_session
+
+    spark = build_session("bench_frontier", master=f"local[{args.cores}]",
+                          shuffle_partitions=args.cores * 2)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def synth_urls(lo: int, hi: int):
+        """Deterministic url per id; 10% of ids land on the mega-host."""
+        df = spark.range(lo, hi)
+        host_id = F.when(F.col("id") % 10 == 0, F.lit(0)).otherwise(
+            F.pmod(F.xxhash64(F.col("id")), F.lit(args.n_hosts))
+        )
+        return df.select(
+            F.concat(F.lit("https://h"), host_id.cast("string"),
+                     F.lit(".example.org/p/"), F.col("id").cast("string")
+                     ).alias("url")
+        )
+
+    work = tempfile.mkdtemp(prefix="bench_frontier_")
+    try:
+        # ---- generation, off the clock ------------------------------------
+        frontier_path = os.path.join(work, "frontier")
+        (with_frontier_keys(synth_urls(0, args.rows))
+         .withColumn("priority", F.pmod(F.xxhash64("url"), F.lit(1000)).cast("int"))
+         .withColumn("state", F.lit("pending"))
+         .write.mode("overwrite").parquet(frontier_path))
+        cands_path = os.path.join(work, "cands")
+        # ids [rows - cands/2, rows + cands/2): lower half already in the
+        # frontier, upper half genuinely new — same url formula either way
+        (with_frontier_keys(
+            synth_urls(args.rows - args.cands // 2,
+                       args.rows + args.cands // 2))
+         .write.mode("overwrite").parquet(cands_path))
+
+        frontier = spark.read.parquet(frontier_path)
+        cands = spark.read.parquet(cands_path)
+        frontier.limit(8).count()  # warm JVM/readers off the clock
+
+        # ---- timed ops -----------------------------------------------------
+        t0 = time.monotonic()
+        pop_per_host(frontier, args.budget).write.format("noop").mode(
+            "overwrite").save()
+        t_pop = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        bloom = build_bloom(frontier)
+        assert bloom is not None
+        bcast = BroadcastBloom(spark.sparkContext, bloom)
+        t_bloom = time.monotonic() - t0
+
+        t0 = time.monotonic()
+        filter_unseen(cands, frontier, bloom=bcast).write.format("noop").mode(
+            "overwrite").save()
+        t_seen = time.monotonic() - t0
+
+        # sanity (off the clock): exactly the new half must survive
+        n_new = filter_unseen(cands, frontier, bloom=bcast).count()
+        bcast.unpersist()
+        assert n_new == args.cands // 2, (n_new, args.cands)
+
+        total = t_pop + t_bloom + t_seen
+        result = {
+            "job": "frontier_round_ops",
+            "rows": args.rows,
+            "cands": args.cands,
+            "cores": args.cores,
+            "budget": args.budget,
+            "mega_host_rows": args.rows // 10,
+            "sec": {"pop": round(t_pop, 3), "bloom_build": round(t_bloom, 3),
+                    "seen_filter": round(t_seen, 3), "total": round(total, 3)},
+            "frontier_urls_per_sec": round(args.rows / total, 1),
+            "pop_urls_per_sec": round(args.rows / t_pop, 1),
+            "seen_cand_urls_per_sec": round(args.cands / t_seen, 1),
+            "bloom_bits": bloom.mask + 1,
+        }
+        print(json.dumps(result))
+        if args.out:
+            with open(args.out, "w") as fh:
+                json.dump(result, fh, indent=2)
+    finally:
+        shutil.rmtree(work, ignore_errors=True)
+        spark.stop()
+
+
+if __name__ == "__main__":
+    main()
