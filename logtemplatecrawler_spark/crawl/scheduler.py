@@ -221,6 +221,37 @@ def discover_outlinks(fetched_pages: DataFrame) -> DataFrame:
     return links.select(FR.canonicalize_url(F.col("url")).alias("url")).distinct()
 
 
+def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
+    """Offline checkpoint maintenance (Iceberg's ``rewrite_data_files`` +
+    ``expire_snapshots`` analog): fold every committed frontier delta into a
+    compacted snapshot at the last complete round, then prune the folded
+    delta partitions.  Run between crawls (or from a maintenance cron) to
+    bound checkpoint size over a long crawl — the inline loop compacts
+    every ``compact_every`` rounds but never deletes superseded deltas.
+
+    Crash-safe: the snapshot is written BEFORE any delta is pruned, and
+    ``snapshot_exists`` only trusts complete snapshots (parquet ``_SUCCESS``
+    marker / commit-log metadata pointer), so a rerun after a crash at any
+    point either rewrites the snapshot or skips straight to pruning —
+    never reads partial data (the frontier reconstruction skips incomplete
+    snapshots for the same reason).  Deltas ABOVE the last complete round
+    (a crashed in-flight round) are left untouched; its rerun overwrites
+    its own partition.
+    """
+    last = last_complete_round(cfg)
+    if last is None:
+        raise FileNotFoundError(f"no committed round under {cfg.checkpoint_dir}")
+    fmt = cfg.table_format
+    snap_path = os.path.join(_round_dir(cfg, last), "frontier")
+    wrote = False
+    if not fmt.snapshot_exists(snap_path):
+        fmt.write_snapshot(load_frontier(spark, cfg, last), snap_path)
+        wrote = True
+    pruned = fmt.prune_deltas(_frontier_delta_dir(cfg), last)
+    return {"round": last, "wrote_snapshot": wrote,
+            "pruned_delta_partitions": pruned}
+
+
 def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
               robots: DataFrame, cfg: CrawlConfig) -> List[Dict]:
     """Run (or resume) the crawl to completion; returns per-round metrics."""

@@ -79,10 +79,11 @@ class ParquetManifestFormat:
         return spark.read.parquet(*paths)
 
     def snapshot_exists(self, path: str) -> bool:
-        return os.path.isdir(path) and any(
-            name.endswith(".parquet") or name == "_SUCCESS"
-            for name in os.listdir(path)
-        )
+        # _SUCCESS is the completeness marker Spark writes LAST — a
+        # crash-truncated snapshot (parquet files present, no _SUCCESS)
+        # must read as absent, or readers (and the offline compaction's
+        # skip-if-exists) would trust partial data.
+        return os.path.isdir(path) and "_SUCCESS" in os.listdir(path)
 
     # -- per-round delta commits (the Iceberg-MERGE stand-in) ---------------
 
@@ -132,6 +133,18 @@ class ParquetManifestFormat:
             for name in os.listdir(base_dir)
             if name.startswith("round=")
         )
+
+    def prune_deltas(self, base_dir: str, up_to_round: int) -> int:
+        """Drop delta partitions with ``round <= up_to_round`` (after their
+        rows were folded into a compacted snapshot — Iceberg's
+        ``expire_snapshots``/``rewrite_data_files`` maintenance analog).
+        Returns the number of partitions removed."""
+        removed = 0
+        for rnd in self.delta_rounds(base_dir):
+            if rnd <= up_to_round:
+                shutil.rmtree(self._delta_path(base_dir, rnd), ignore_errors=True)
+                removed += 1
+        return removed
 
     @staticmethod
     def _delta_path(base_dir: str, rnd: int) -> str:
@@ -263,6 +276,22 @@ class CommitLogFormat:
 
     def delta_rounds(self, base_dir: str):
         return sorted(int(r) for r in self._read_log(base_dir)["entries"])
+
+    def prune_deltas(self, base_dir: str, up_to_round: int) -> int:
+        """Drop log entries (and their data dirs) with ``round <=
+        up_to_round``: rewrite the commit log first (atomic pointer swap —
+        readers never see a log entry whose files are gone), then GC."""
+        log = self._read_log(base_dir)
+        doomed = {r: d for r, d in log["entries"].items()
+                  if int(r) <= up_to_round}
+        if not doomed:
+            return 0
+        log["entries"] = {r: d for r, d in log["entries"].items()
+                          if r not in doomed}
+        _atomic_write_json(os.path.join(base_dir, self._LOG), log)
+        for d in doomed.values():
+            shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+        return len(doomed)
 
     # -- atomic round commit -------------------------------------------------
 

@@ -19,6 +19,7 @@ import pytest
 
 from logtemplatecrawler_spark.crawl.scheduler import (
     CrawlConfig,
+    compact_checkpoint,
     last_complete_round,
     load_frontier,
     read_all_templates,
@@ -129,6 +130,56 @@ def _crawl(spark, pages, ckpt, fmt, max_rounds=MAX_ROUNDS, compact_every=3):
               seeds_df(spark, pages, seed=7), robots_df(spark, pages, seed=7),
               cfg)
     return cfg
+
+
+def test_prune_deltas(spark, fmt, tmp_path):
+    base = str(tmp_path / "deltas")
+    for r in range(4):
+        fmt.write_delta(_df(spark, [(f"r{r}", r)]), base, r)
+    assert fmt.prune_deltas(base, up_to_round=2) == 3
+    assert fmt.delta_rounds(base) == [3]
+    got = sorted(map(tuple, fmt.read_deltas(spark, base, max_round=9).collect()))
+    assert got == [("r3", 3)]
+    assert fmt.prune_deltas(base, up_to_round=2) == 0  # idempotent
+
+
+def test_partial_snapshot_reads_as_absent(spark, tmp_path):
+    """A crash-truncated parquet snapshot (files, no _SUCCESS) must not be
+    trusted by readers or by compaction's skip-if-exists."""
+    fmt = ParquetManifestFormat()
+    path = str(tmp_path / "snap")
+    fmt.write_snapshot(_df(spark, [("a", 1)]), path)
+    assert fmt.snapshot_exists(path)
+    os.remove(os.path.join(path, "_SUCCESS"))
+    assert not fmt.snapshot_exists(path)
+
+
+def test_compact_checkpoint(spark, tmp_path):
+    """Offline compaction folds frontier deltas into a snapshot at the last
+    round, prunes them, leaves the reconstructed frontier identical, and
+    the crawl resumes cleanly afterwards — both formats."""
+    pages = generate_pages(N_PAGES, seed=7)
+    for fmt_cls, sub in [(ParquetManifestFormat, "pq"), (CommitLogFormat, "cl")]:
+        ckpt = str(tmp_path / sub)
+        cfg = _crawl(spark, pages, ckpt, fmt_cls(), max_rounds=4)
+        last = last_complete_round(cfg)
+        before = {(r["url"], r["state"], r["depth"])
+                  for r in load_frontier(spark, cfg, last).collect()}
+        fdir = os.path.join(ckpt, "frontier_deltas")
+        assert cfg.table_format.delta_rounds(fdir), "no deltas to compact"
+
+        out = compact_checkpoint(spark, cfg)
+        assert out["round"] == last and out["pruned_delta_partitions"] > 0
+        assert cfg.table_format.delta_rounds(fdir) == []
+        after = {(r["url"], r["state"], r["depth"])
+                 for r in load_frontier(spark, cfg, last).collect()}
+        assert after == before
+        # rerun is a no-op (snapshot exists, nothing left to prune)
+        out2 = compact_checkpoint(spark, cfg)
+        assert not out2["wrote_snapshot"] and out2["pruned_delta_partitions"] == 0
+        # the crawl continues from the compacted checkpoint
+        cfg2 = _crawl(spark, pages, ckpt, fmt_cls(), max_rounds=MAX_ROUNDS)
+        assert last_complete_round(cfg2) >= last
 
 
 def test_crawl_identical_across_formats_with_resume(spark, tmp_path):
