@@ -158,12 +158,35 @@ def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
     )
 
 
+def _neg_snap_path(cfg: CrawlConfig, rnd: int) -> str:
+    return os.path.join(_round_dir(cfg, rnd), "neg_snapshot")
+
+
+def _latest_neg_snap_round(cfg: CrawlConfig, rnd: int) -> Optional[int]:
+    fmt = cfg.table_format
+    for b in range(rnd, -1, -1):
+        if fmt.snapshot_exists(_neg_snap_path(cfg, b)):
+            return b
+    return None
+
+
 def load_neg_keys(spark: SparkSession, cfg: CrawlConfig,
                   rnd: int) -> Optional[DataFrame]:
-    """Cumulative committed-template keys as of round ``rnd``: one
-    partition-pruned read of the neg_keys delta directory (keys are
-    append-only, so the cumulative set IS the union of the deltas)."""
-    return cfg.table_format.read_deltas(spark, _neg_dir(cfg), max_round=rnd)
+    """Cumulative committed-template keys as of round ``rnd``: the latest
+    compacted neg snapshot ≤ rnd (written by ``compact_checkpoint``) plus
+    the delta partitions after it, in one partition-pruned read — keys are
+    append-only, so the cumulative set IS snapshot ∪ later deltas.  Without
+    a snapshot it is the plain union of deltas ≤ rnd."""
+    fmt = cfg.table_format
+    snap_round = _latest_neg_snap_round(cfg, rnd)
+    deltas = fmt.read_deltas(
+        spark, _neg_dir(cfg), max_round=rnd,
+        min_round_exclusive=-1 if snap_round is None else snap_round,
+    )
+    if snap_round is None:
+        return deltas
+    snap = fmt.read_snapshot(spark, _neg_snap_path(cfg, snap_round))
+    return snap if deltas is None else snap.unionByName(deltas)
 
 
 def read_all_templates(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
@@ -223,11 +246,15 @@ def discover_outlinks(fetched_pages: DataFrame) -> DataFrame:
 
 def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
     """Offline checkpoint maintenance (Iceberg's ``rewrite_data_files`` +
-    ``expire_snapshots`` analog): fold every committed frontier delta into a
-    compacted snapshot at the last complete round, then prune the folded
-    delta partitions.  Run between crawls (or from a maintenance cron) to
-    bound checkpoint size over a long crawl — the inline loop compacts
-    every ``compact_every`` rounds but never deletes superseded deltas.
+    ``expire_snapshots`` analog): fold every committed frontier delta — and
+    every negative-cache key delta — into compacted snapshots at the last
+    complete round, prune the folded delta partitions, and expire
+    superseded snapshots below that round (resume always starts from the
+    LAST complete round; earlier-round time travel is traded for disk,
+    exactly Iceberg ``expire_snapshots`` semantics).  Run between crawls
+    (or from a maintenance cron) to bound checkpoint size over a long
+    crawl — the inline loop compacts every ``compact_every`` rounds but
+    never deletes superseded deltas or snapshots.
 
     Crash-safe: the snapshot is written BEFORE any delta is pruned, and
     ``snapshot_exists`` only trusts complete snapshots (parquet ``_SUCCESS``
@@ -248,8 +275,38 @@ def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
         fmt.write_snapshot(load_frontier(spark, cfg, last), snap_path)
         wrote = True
     pruned = fmt.prune_deltas(_frontier_delta_dir(cfg), last)
+
+    # Same treatment for the negative-cache keys: fold deltas ≤ last into a
+    # snapshot at round `last` (read sources are the older snapshot + delta
+    # dirs — never the write target, so the fold is crash-safe too), then
+    # prune the folded partitions.  Keeps the delta dir's partition count
+    # O(rounds since last compaction) instead of O(all rounds).
+    wrote_neg = False
+    neg_pruned = 0
+    if fmt.deltas_exist(_neg_dir(cfg)) or _latest_neg_snap_round(cfg, last) is not None:
+        if not fmt.snapshot_exists(_neg_snap_path(cfg, last)):
+            neg = load_neg_keys(spark, cfg, last)
+            if neg is not None:
+                fmt.write_snapshot(neg, _neg_snap_path(cfg, last))
+                wrote_neg = True
+        if fmt.snapshot_exists(_neg_snap_path(cfg, last)):
+            neg_pruned = fmt.prune_deltas(_neg_dir(cfg), last)
+
+    # Expire superseded history (Iceberg expire_snapshots): snapshots below
+    # the fresh compaction round are unreachable by resume (which always
+    # starts from the LAST complete round) and each holds a full table copy.
+    expired = 0
+    for b in range(last - 1, -1, -1):
+        for dead in (os.path.join(_round_dir(cfg, b), "frontier"),
+                     _neg_snap_path(cfg, b)):
+            if fmt.snapshot_exists(dead):
+                fmt.drop_snapshot(dead)
+                expired += 1
     return {"round": last, "wrote_snapshot": wrote,
-            "pruned_delta_partitions": pruned}
+            "pruned_delta_partitions": pruned,
+            "wrote_neg_snapshot": wrote_neg,
+            "pruned_neg_delta_partitions": neg_pruned,
+            "expired_snapshots": expired}
 
 
 def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,

@@ -85,6 +85,10 @@ class ParquetManifestFormat:
         # skip-if-exists) would trust partial data.
         return os.path.isdir(path) and "_SUCCESS" in os.listdir(path)
 
+    def drop_snapshot(self, path: str) -> None:
+        """Expire a superseded snapshot (offline-compaction history GC)."""
+        shutil.rmtree(path, ignore_errors=True)
+
     # -- per-round delta commits (the Iceberg-MERGE stand-in) ---------------
 
     def write_delta(self, df: DataFrame, base_dir: str, rnd: int) -> None:
@@ -223,6 +227,9 @@ class CommitLogFormat:
 
     def snapshot_exists(self, path: str) -> bool:
         return os.path.exists(os.path.join(path, self._META))
+
+    def drop_snapshot(self, path: str) -> None:
+        shutil.rmtree(path, ignore_errors=True)
 
     # -- per-round delta commits ---------------------------------------------
 

@@ -155,9 +155,12 @@ def test_partial_snapshot_reads_as_absent(spark, tmp_path):
 
 
 def test_compact_checkpoint(spark, tmp_path):
-    """Offline compaction folds frontier deltas into a snapshot at the last
-    round, prunes them, leaves the reconstructed frontier identical, and
-    the crawl resumes cleanly afterwards — both formats."""
+    """Offline compaction folds frontier AND neg-key deltas into snapshots
+    at the last round, prunes them, expires superseded history, leaves the
+    reconstructed state identical, and the crawl resumes cleanly
+    afterwards — both formats."""
+    from logtemplatecrawler_spark.crawl.scheduler import load_neg_keys
+
     pages = generate_pages(N_PAGES, seed=7)
     for fmt_cls, sub in [(ParquetManifestFormat, "pq"), (CommitLogFormat, "cl")]:
         ckpt = str(tmp_path / sub)
@@ -165,21 +168,37 @@ def test_compact_checkpoint(spark, tmp_path):
         last = last_complete_round(cfg)
         before = {(r["url"], r["state"], r["depth"])
                   for r in load_frontier(spark, cfg, last).collect()}
+        neg_before = {tuple(r) for r in load_neg_keys(spark, cfg, last).collect()}
         fdir = os.path.join(ckpt, "frontier_deltas")
+        ndir = os.path.join(ckpt, "neg_keys")
         assert cfg.table_format.delta_rounds(fdir), "no deltas to compact"
+        assert cfg.table_format.delta_rounds(ndir), "no neg deltas to compact"
 
         out = compact_checkpoint(spark, cfg)
         assert out["round"] == last and out["pruned_delta_partitions"] > 0
+        assert out["wrote_neg_snapshot"] and out["pruned_neg_delta_partitions"] > 0
         assert cfg.table_format.delta_rounds(fdir) == []
+        assert cfg.table_format.delta_rounds(ndir) == []
+        # superseded history expired: no frontier snapshot below `last`
+        for b in range(last):
+            assert not cfg.table_format.snapshot_exists(
+                os.path.join(ckpt, f"round={b:04d}", "frontier"))
         after = {(r["url"], r["state"], r["depth"])
                  for r in load_frontier(spark, cfg, last).collect()}
         assert after == before
-        # rerun is a no-op (snapshot exists, nothing left to prune)
+        neg_after = {tuple(r) for r in load_neg_keys(spark, cfg, last).collect()}
+        assert neg_after == neg_before
+        # rerun is a no-op (snapshots exist, nothing left to prune)
         out2 = compact_checkpoint(spark, cfg)
         assert not out2["wrote_snapshot"] and out2["pruned_delta_partitions"] == 0
-        # the crawl continues from the compacted checkpoint
+        assert not out2["wrote_neg_snapshot"] and out2["pruned_neg_delta_partitions"] == 0
+        # the crawl continues from the compacted checkpoint, and the
+        # continued rounds still see the compacted negative cache
         cfg2 = _crawl(spark, pages, ckpt, fmt_cls(), max_rounds=MAX_ROUNDS)
-        assert last_complete_round(cfg2) >= last
+        last2 = last_complete_round(cfg2)
+        assert last2 >= last
+        assert {tuple(r) for r in load_neg_keys(spark, cfg2, last2).collect()} \
+            >= neg_before
 
 
 def test_crawl_identical_across_formats_with_resume(spark, tmp_path):
