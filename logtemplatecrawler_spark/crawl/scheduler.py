@@ -122,6 +122,23 @@ def _neg_dir(cfg: CrawlConfig) -> str:
     return os.path.join(cfg.checkpoint_dir, "neg_keys")
 
 
+def _latest_snapshot_round(cfg: CrawlConfig, rnd: int,
+                           path_fn) -> Optional[int]:
+    """Highest round ``b ≤ rnd`` whose ``path_fn(cfg, b)`` snapshot is
+    complete.  Walks backward; the frontier search terminates within
+    ``compact_every`` steps (the loop compacts on that cadence), the neg
+    search is called once per crawl (cached by the loop), not per round."""
+    fmt = cfg.table_format
+    for b in range(rnd, -1, -1):
+        if fmt.snapshot_exists(path_fn(cfg, b)):
+            return b
+    return None
+
+
+def _frontier_snap_path(cfg: CrawlConfig, rnd: int) -> str:
+    return os.path.join(_round_dir(cfg, rnd), "frontier")
+
+
 def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
     """Frontier state as of committed round ``rnd``: latest compacted
     snapshot ≤ rnd merged with the delta partitions after it (keep-latest
@@ -129,16 +146,12 @@ def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
     once per round and compaction rounds write no delta, so the max
     ``updated_round`` per url is unique."""
     fmt = cfg.table_format
-    base_round = None
-    for b in range(rnd, -1, -1):
-        if fmt.snapshot_exists(os.path.join(_round_dir(cfg, b), "frontier")):
-            base_round = b
-            break
+    base_round = _latest_snapshot_round(cfg, rnd, _frontier_snap_path)
     if base_round is None:
         raise FileNotFoundError(
             f"no compacted frontier snapshot ≤ round {rnd} under {cfg.checkpoint_dir}"
         )
-    base = fmt.read_snapshot(spark, os.path.join(_round_dir(cfg, base_round), "frontier"))
+    base = fmt.read_snapshot(spark, _frontier_snap_path(cfg, base_round))
     if base_round == rnd:
         return base
     deltas = fmt.read_deltas(
@@ -162,23 +175,23 @@ def _neg_snap_path(cfg: CrawlConfig, rnd: int) -> str:
     return os.path.join(_round_dir(cfg, rnd), "neg_snapshot")
 
 
-def _latest_neg_snap_round(cfg: CrawlConfig, rnd: int) -> Optional[int]:
-    fmt = cfg.table_format
-    for b in range(rnd, -1, -1):
-        if fmt.snapshot_exists(_neg_snap_path(cfg, b)):
-            return b
-    return None
+_UNSET = object()
 
 
-def load_neg_keys(spark: SparkSession, cfg: CrawlConfig,
-                  rnd: int) -> Optional[DataFrame]:
+def load_neg_keys(spark: SparkSession, cfg: CrawlConfig, rnd: int,
+                  snap_round=_UNSET) -> Optional[DataFrame]:
     """Cumulative committed-template keys as of round ``rnd``: the latest
     compacted neg snapshot ≤ rnd (written by ``compact_checkpoint``) plus
     the delta partitions after it, in one partition-pruned read — keys are
     append-only, so the cumulative set IS snapshot ∪ later deltas.  Without
-    a snapshot it is the plain union of deltas ≤ rnd."""
+    a snapshot it is the plain union of deltas ≤ rnd.
+
+    ``snap_round`` lets the round loop pass the snapshot round it resolved
+    ONCE at resume (compaction only runs offline, so it cannot change
+    mid-crawl) instead of re-walking the round dirs every round."""
     fmt = cfg.table_format
-    snap_round = _latest_neg_snap_round(cfg, rnd)
+    if snap_round is _UNSET:
+        snap_round = _latest_snapshot_round(cfg, rnd, _neg_snap_path)
     deltas = fmt.read_deltas(
         spark, _neg_dir(cfg), max_round=rnd,
         min_round_exclusive=-1 if snap_round is None else snap_round,
@@ -198,7 +211,7 @@ def read_all_templates(spark: SparkSession, cfg: CrawlConfig) -> DataFrame:
     last = last_complete_round(cfg)
     paths = [
         os.path.join(_round_dir(cfg, r), "templates")
-        for r in range((last or -1) + 1)
+        for r in range((-1 if last is None else last) + 1)
         if fmt.snapshot_exists(os.path.join(_round_dir(cfg, r), "templates"))
     ]
     if not paths:
@@ -283,14 +296,17 @@ def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
     # O(rounds since last compaction) instead of O(all rounds).
     wrote_neg = False
     neg_pruned = 0
-    if fmt.deltas_exist(_neg_dir(cfg)) or _latest_neg_snap_round(cfg, last) is not None:
-        if not fmt.snapshot_exists(_neg_snap_path(cfg, last)):
-            neg = load_neg_keys(spark, cfg, last)
-            if neg is not None:
-                fmt.write_snapshot(neg, _neg_snap_path(cfg, last))
-                wrote_neg = True
-        if fmt.snapshot_exists(_neg_snap_path(cfg, last)):
-            neg_pruned = fmt.prune_deltas(_neg_dir(cfg), last)
+    snap_round = _latest_snapshot_round(cfg, last, _neg_snap_path)
+    if fmt.deltas_exist(_neg_dir(cfg)) or snap_round is not None:
+        # branch entry guarantees load_neg_keys is non-None; snap_round ==
+        # last means a complete snapshot is already in place (skip-if-exists)
+        if snap_round != last:
+            fmt.write_snapshot(
+                load_neg_keys(spark, cfg, last, snap_round=snap_round),
+                _neg_snap_path(cfg, last),
+            )
+            wrote_neg = True
+        neg_pruned = fmt.prune_deltas(_neg_dir(cfg), last)
 
     # Expire superseded history (Iceberg expire_snapshots): snapshots below
     # the fresh compaction round are unreachable by resume (which always
@@ -343,6 +359,13 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         frontier = load_frontier(spark, cfg, resumed).persist()
         persisted_frontier = frontier
         next_round = resumed + 1
+    # Compaction only runs offline, so the neg snapshot round cannot change
+    # mid-crawl: resolve it ONCE here and pass it to every per-round
+    # load_neg_keys (a per-round backward walk would be O(R²) dir probes).
+    neg_snap_round = (
+        _latest_snapshot_round(cfg, resumed, _neg_snap_path)
+        if resumed is not None else None
+    )
 
     pages_kv = pages.select(
         FR.canonicalize_url(F.col("url")).alias("url"),
@@ -487,7 +510,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         fmt.write_delta(
             delta.select("template", "parsed_template"), _neg_dir(cfg), rnd
         )
-        neg = load_neg_keys(spark, cfg, rnd)
+        neg = load_neg_keys(spark, cfg, rnd, snap_round=neg_snap_round)
         # ONE stats job over the committed snapshot derives everything else —
         # recounting `new_rows`/`popped` directly would re-execute the whole
         # discovery anti-join / politeness window a second time.

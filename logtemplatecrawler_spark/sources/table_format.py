@@ -167,6 +167,25 @@ class ParquetManifestFormat:
         return os.path.exists(os.path.join(round_dir, _MANIFEST))
 
 
+def detect_format(checkpoint_dir: str):
+    """Infer the table format of an EXISTING checkpoint from its on-disk
+    commit markers (``MANIFEST.json`` → parquet+manifest, ``_commit.json``
+    → commit-log).  Returns None for a fresh or unrecognizable directory —
+    callers choose a default for new checkpoints and can turn None on a
+    non-empty dir into a clear format-mismatch error instead of the
+    misleading "no committed round"."""
+    if not os.path.isdir(checkpoint_dir):
+        return None
+    for name in sorted(os.listdir(checkpoint_dir)):
+        if name.startswith("round="):
+            rdir = os.path.join(checkpoint_dir, name)
+            if os.path.exists(os.path.join(rdir, _MANIFEST)):
+                return ParquetManifestFormat()
+            if os.path.exists(os.path.join(rdir, CommitLogFormat._COMMIT)):
+                return CommitLogFormat()
+    return None
+
+
 class CommitLogFormat:
     """Second seam implementation — Iceberg-shaped metadata over parquet.
 
@@ -287,17 +306,25 @@ class CommitLogFormat:
     def prune_deltas(self, base_dir: str, up_to_round: int) -> int:
         """Drop log entries (and their data dirs) with ``round <=
         up_to_round``: rewrite the commit log first (atomic pointer swap —
-        readers never see a log entry whose files are gone), then GC."""
+        readers never see a log entry whose files are gone), then GC.
+        Also sweeps ORPHANED data dirs (present on disk, absent from the
+        log) left by a crash between a previous log swap and its rmtree —
+        safe because pruning is a single-writer maintenance operation, so
+        no in-flight write_delta can own an unlogged dir concurrently."""
         log = self._read_log(base_dir)
         doomed = {r: d for r, d in log["entries"].items()
                   if int(r) <= up_to_round}
-        if not doomed:
-            return 0
         log["entries"] = {r: d for r, d in log["entries"].items()
                           if r not in doomed}
-        _atomic_write_json(os.path.join(base_dir, self._LOG), log)
-        for d in doomed.values():
-            shutil.rmtree(os.path.join(base_dir, d), ignore_errors=True)
+        if doomed:
+            _atomic_write_json(os.path.join(base_dir, self._LOG), log)
+        live = set(log["entries"].values())
+        if os.path.isdir(base_dir):
+            for name in os.listdir(base_dir):
+                full = os.path.join(base_dir, name)
+                if (name not in live and name != self._LOG
+                        and not name.endswith(".tmp") and os.path.isdir(full)):
+                    shutil.rmtree(full, ignore_errors=True)
         return len(doomed)
 
     # -- atomic round commit -------------------------------------------------

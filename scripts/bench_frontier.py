@@ -46,6 +46,14 @@ def main() -> None:
 
     repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
     sys.path.insert(0, repo)
+    # fail fast BEFORE the multi-minute generation phase: build_bloom
+    # returns None (by design) above its max_bits cap — ~700M keys at the
+    # default 12 bits/key — and this bench requires the bloom path
+    if (max(64, 1 << (args.rows * 12).bit_length()) > (1 << 33)):
+        raise SystemExit(
+            f"--rows {args.rows} exceeds the bloom max_bits cap "
+            "(~700M keys at 12 bits/key); the bloom path would be skipped"
+        )
     from pyspark.sql import functions as F
 
     from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys

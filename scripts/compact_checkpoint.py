@@ -21,8 +21,10 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--format", choices=["parquet", "commitlog"],
-                    default="parquet")
+    ap.add_argument("--format", choices=["auto", "parquet", "commitlog"],
+                    default="auto",
+                    help="auto (default) infers the format from the "
+                         "checkpoint's commit markers")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -34,9 +36,17 @@ def main() -> None:
     from logtemplatecrawler_spark.sources.table_format import (
         CommitLogFormat,
         ParquetManifestFormat,
+        detect_format,
     )
 
-    fmt = ParquetManifestFormat() if args.format == "parquet" else CommitLogFormat()
+    if args.format == "auto":
+        fmt = detect_format(args.checkpoint)
+        if fmt is None:
+            ap.error(f"no recognizable committed round under {args.checkpoint} "
+                     "(nothing to compact; pass --format to override detection)")
+    else:
+        fmt = (ParquetManifestFormat() if args.format == "parquet"
+               else CommitLogFormat())
     spark = build_session("compact_checkpoint", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     try:

@@ -27,11 +27,21 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=100)
     ap.add_argument("--fixture-pages", type=int, default=400)
     ap.add_argument("--master", default=None)
+    ap.add_argument("--format", choices=["auto", "parquet", "commitlog"],
+                    default="auto",
+                    help="checkpoint table format: auto (default) infers an "
+                         "existing checkpoint's format from its commit "
+                         "markers and uses parquet for a fresh one")
     args = ap.parse_args()
 
     from logtemplatecrawler_spark.session import build_session
     from logtemplatecrawler_spark.crawl.scheduler import CrawlConfig, run_crawl
     from logtemplatecrawler_spark.sources import fixtures
+    from logtemplatecrawler_spark.sources.table_format import (
+        CommitLogFormat,
+        ParquetManifestFormat,
+        detect_format,
+    )
 
     spark = build_session("crawl", master=args.master)
     if args.pages:
@@ -51,10 +61,16 @@ def main() -> None:
         seeds = fixtures.seeds_df(spark, rows, seed=42)
         robots = fixtures.robots_df(spark, rows, seed=42)
 
+    if args.format == "auto":
+        fmt = detect_format(args.checkpoint) or ParquetManifestFormat()
+    else:
+        fmt = (ParquetManifestFormat() if args.format == "parquet"
+               else CommitLogFormat())
     cfg = CrawlConfig(
         checkpoint_dir=args.checkpoint,
         host_budget=args.budget,
         max_rounds=args.rounds,
+        table_format=fmt,
     )
     metrics = run_crawl(spark, pages, seeds, robots, cfg)
     for m in metrics:

@@ -34,6 +34,7 @@ from logtemplatecrawler_spark.sources.fixtures import (
 from logtemplatecrawler_spark.sources.table_format import (
     CommitLogFormat,
     ParquetManifestFormat,
+    detect_format,
 )
 
 FORMATS = [ParquetManifestFormat, CommitLogFormat]
@@ -107,6 +108,28 @@ def test_commit_marker(spark, fmt, tmp_path):
     assert not fmt.is_committed(rdir)
     fmt.commit_round(rdir, metrics={"n": 1})
     assert fmt.is_committed(rdir)
+
+
+def test_detect_format(tmp_path):
+    assert detect_format(str(tmp_path / "absent")) is None
+    pq = tmp_path / "pq" / "round=0000"
+    pq.mkdir(parents=True)
+    ParquetManifestFormat().commit_round(str(pq))
+    assert isinstance(detect_format(str(tmp_path / "pq")), ParquetManifestFormat)
+    cl = tmp_path / "cl" / "round=0000"
+    cl.mkdir(parents=True)
+    CommitLogFormat().commit_round(str(cl))
+    assert isinstance(detect_format(str(tmp_path / "cl")), CommitLogFormat)
+
+
+def test_read_all_templates_round_zero_only(spark, tmp_path):
+    """A crawl that completed ONLY round 0 must still export its templates
+    (regression: `(last or -1)` treated round 0 as no-rounds)."""
+    pages = generate_pages(N_PAGES, seed=7)
+    cfg = _crawl(spark, pages, str(tmp_path / "r0"), ParquetManifestFormat(),
+                 max_rounds=1)
+    assert last_complete_round(cfg) == 0
+    assert read_all_templates(spark, cfg).count() > 0
 
 
 def test_delta_rejects_reserved_round_column(spark, fmt, tmp_path):
