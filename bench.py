@@ -34,9 +34,12 @@ def _ensure_bench_pages(spark, n_pages: int, path: str):
     return spark.read.parquet(os.path.join(path, "pages"))
 
 
-def _run(df) -> float:
+def _run_thunk(make_df) -> float:
+    """Time plan CONSTRUCTION + execution — builders may materialize
+    eagerly (localCheckpoint'd index tables), and that cost is part of the
+    query."""
     t0 = time.monotonic()
-    df.write.format("noop").mode("overwrite").save()
+    make_df().write.format("noop").mode("overwrite").save()
     return time.monotonic() - t0
 
 
@@ -88,10 +91,14 @@ def main() -> None:
     def one_pass():
         t = {}
         t_all = time.monotonic()
-        t["template_pipeline"] = _run(extract_templates(pages, dedup=True))
-        t["politeness_pop"] = _run(pop_per_host(frontier_like, budget=2))
+        t["template_pipeline"] = _run_thunk(lambda: extract_templates(pages, dedup=True))
+        t["politeness_pop"] = _run_thunk(lambda: pop_per_host(frontier_like, budget=2))
         for name in headline:
-            t[name] = _run(harness.QUERIES[name](spark, sf_dir))
+            # construct INSIDE the timed region: query builders may
+            # materialize eagerly (localCheckpoint'd index/signature
+            # tables), and excluding that would silently flatter the
+            # per-query number vs earlier rounds
+            t[name] = _run_thunk(lambda n=name: harness.QUERIES[n](spark, sf_dir))
         return t, time.monotonic() - t_all
 
     # Min-of-N: this VM's CPU steal arrives in multi-second bursts that
@@ -99,7 +106,7 @@ def main() -> None:
     # flip; the min over interleaved passes is the honest estimator and
     # matches how BASELINE.md's quiet-window records are produced
     # (VERDICT r02 item 8 — compare like with like).
-    n_runs = int(os.environ.get("BENCH_RUNS", "3"))
+    n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     runs = []
     per_query = []
     for _ in range(n_runs):

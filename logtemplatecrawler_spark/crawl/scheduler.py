@@ -40,10 +40,13 @@ The reference's analog is a row-level UPDATE
   MERGE-on-read, expressed over plain parquet.
 
 Cross-round negative cache: each round commits only its DELTA keys under
-``<ckpt>/neg_keys/round=NNNN`` and readers take ONE partition-pruned read
-of the whole directory — cumulative-snapshot rewrites (r02) were O(R·keys)
-bytes written over the crawl; per-round delta reads (r01) were O(R²)
-file-opens.  Both axes are O(touched) now.
+``<ckpt>/neg_keys/round=NNNN``; an inline roll-up every ``compact_every``
+rounds folds them into a snapshot, so a round's read is ONE
+partition-pruned scan of ≤ compact_every delta partitions + 1 snapshot —
+cumulative-snapshot rewrites (r02) were O(R·keys) bytes written over the
+crawl; per-round delta reads (r01) were O(R²) file-opens.  Writes are
+O(touched keys) per round (plus one slim snapshot per compact_every
+rounds); reads are O(compact_every) partitions per round.
 """
 
 from __future__ import annotations
@@ -510,6 +513,20 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         fmt.write_delta(
             delta.select("template", "parsed_template"), _neg_dir(cfg), rnd
         )
+        if rnd % cfg.compact_every == 0 and rnd > 0:
+            # Inline neg-keys roll-up on the same cadence as the frontier
+            # compaction: fold snapshot ∪ deltas ≤ rnd into a snapshot at
+            # rnd, so every round's read touches ≤ compact_every delta
+            # partitions + 1 snapshot instead of O(all rounds) partitions.
+            # Crash-safe: the snapshot lives inside this round's dir, which
+            # has no MANIFEST yet (a partial write is invisible to resume,
+            # and _SUCCESS gating hides it from the rerun's skip-check);
+            # superseded deltas stay until offline compaction prunes them.
+            fmt.write_snapshot(
+                load_neg_keys(spark, cfg, rnd, snap_round=neg_snap_round),
+                _neg_snap_path(cfg, rnd),
+            )
+            neg_snap_round = rnd
         neg = load_neg_keys(spark, cfg, rnd, snap_round=neg_snap_round)
         # ONE stats job over the committed snapshot derives everything else —
         # recounting `new_rows`/`popped` directly would re-execute the whole

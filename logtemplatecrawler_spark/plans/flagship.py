@@ -37,9 +37,12 @@ from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
 def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     """documents(doc_id, text, …) → pages(url, warc_ts, html, text, lang)."""
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    # Strip characters that would change statement boundaries, then embed the
-    # prefix as the message literal of each derived statement.
-    safe = F.regexp_replace(F.substring("text", 1, 120), '["\\\\;{}#]', "")
+    # Strip characters that would change statement boundaries — and `%`,
+    # which a printf-spec-bearing document prefix (e.g. "50%discount")
+    # would otherwise get rewritten by the engine's printf path while the
+    # SQL twin concatenates it verbatim — then embed the prefix as the
+    # message literal of each derived statement.
+    safe = F.regexp_replace(F.substring("text", 1, 120), '["\\\\;{}#%]', "")
     java_body = F.concat(
         F.lit("import org.slf4j.Logger;\n"
               "public class Doc {\n"

@@ -396,8 +396,31 @@ def dedup_jaccard(spark, sf_dir):
 
 
 # Portable 64-bit word hash: first 15 hex chars of md5 → BIGINT (fits 2^60).
-_MINHASH_P = 2147483647
+from logtemplatecrawler_spark.operators.minhash import MINHASH_P as _MINHASH_P
+
 _MINHASH_COEF = [(2, 1), (3, 7), (5, 11), (7, 13), (11, 17), (13, 19), (17, 23), (19, 29)]
+
+
+def _band_pairs(sigs, bands: int, rows: int):
+    """Candidate pairs from banded signatures: one equality self-join per
+    band on the band's ``rows`` signature columns (compact keys — never an
+    all-pairs scan), unioned and de-duplicated.  Shared by the fixed 4×2
+    demonstrator and the threshold-parameterized entry so the two loops
+    cannot drift apart."""
+    out = None
+    for band in range(bands):
+        keys = [f"mh{band * rows + j}" for j in range(rows)]
+        left = sigs.select(F.col("doc_id").alias("doc_a"),
+                           *[F.col(k).alias(f"b{j}") for j, k in enumerate(keys)])
+        right = sigs.select(F.col("doc_id").alias("doc_b"),
+                            *[F.col(k).alias(f"b{j}") for j, k in enumerate(keys)])
+        pairs = (
+            left.join(right, [f"b{j}" for j in range(rows)])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
 
 
 def _shingle_sig_sql(coefs) -> str:
@@ -489,21 +512,7 @@ def dedup_lsh_pairs(spark, sf_dir):
     schedule — ADVICE r02); localCheckpointed blocks are GC-cleaned with
     the DataFrame."""
     sigs = dedup_minhash(spark, sf_dir).localCheckpoint()
-    bands = []
-    for band in range(4):
-        k0, k1 = f"mh{2 * band}", f"mh{2 * band + 1}"
-        left = sigs.select(F.col("doc_id").alias("doc_a"),
-                           F.col(k0).alias("b0"), F.col(k1).alias("b1"))
-        right = sigs.select(F.col("doc_id").alias("doc_b"),
-                            F.col(k0).alias("b0"), F.col(k1).alias("b1"))
-        bands.append(
-            left.join(right, ["b0", "b1"]).where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-    out = bands[0]
-    for b in bands[1:]:
-        out = out.unionByName(b)
-    return out.distinct()
+    return _band_pairs(sigs, bands=4, rows=2)
 
 
 # Threshold-parameterized banding: 16 perms at a 0.7 Jaccard target →
@@ -551,20 +560,7 @@ def dedup_lsh_pairs_tuned(spark, sf_dir):
     coefs = minhash_coefficients(_TUNED_PERMS)
     bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
     sigs = _minhash_sigs(spark, sf_dir, coefs).localCheckpoint()
-    out = None
-    for band in range(bands):
-        keys = [f"mh{band * rows + j}" for j in range(rows)]
-        left = sigs.select(F.col("doc_id").alias("doc_a"),
-                           *[F.col(k).alias(f"b{j}") for j, k in enumerate(keys)])
-        right = sigs.select(F.col("doc_id").alias("doc_b"),
-                            *[F.col(k).alias(f"b{j}") for j, k in enumerate(keys)])
-        pairs = (
-            left.join(right, [f"b{j}" for j in range(rows)])
-            .where(F.col("doc_a") < F.col("doc_b"))
-            .select("doc_a", "doc_b")
-        )
-        out = pairs if out is None else out.unionByName(pairs)
-    return out.distinct()
+    return _band_pairs(sigs, bands=bands, rows=rows)
 
 
 def _simhash_sql() -> str:
@@ -1323,7 +1319,7 @@ def text_token_count_regex(spark, sf_dir):
 _FLAGSHIP_SQL = """
     WITH pages AS (
       SELECT CAST(doc_id AS VARCHAR) AS did,
-             regexp_replace(substr(text, 1, 120), '["\\\\;{}#]', '', 'g') AS safe
+             regexp_replace(substr(text, 1, 120), '["\\\\;{}#%]', '', 'g') AS safe
       FROM documents
     ), tmpl AS (
       -- stmt 0: plain slf4j literal with a {} placeholder (U6/U7/U11/U12)

@@ -95,11 +95,23 @@ class ParquetManifestFormat:
         """Commit one round's changed rows under ``base_dir/round=NNNN``.
 
         Overwrites only that round's partition — a crashed round's rerun
-        replaces its own (deterministic) delta and nothing else.
+        replaces its own (deterministic) delta and nothing else.  The write
+        lands in a dot-prefixed staging dir (hidden from Spark's partition
+        discovery) and is PUBLISHED with one atomic directory rename, so a
+        crash mid-write can never leave a half-partition that readers
+        mistake for committed rows — the round-loop's MANIFEST protocol
+        already covers its own deltas, but out-of-protocol writers (the
+        legacy neg-cache backfill at an ALREADY-committed round) have no
+        MANIFEST to hide behind.
         """
         if "round" in df.columns:  # would collide with the partition column
             raise ValueError("delta rows must not carry a 'round' column")
-        df.write.mode("overwrite").parquet(self._delta_path(base_dir, rnd))
+        staging = os.path.join(base_dir, f".staging-round={rnd:04d}")
+        shutil.rmtree(staging, ignore_errors=True)
+        df.write.mode("overwrite").parquet(staging)
+        final = self._delta_path(base_dir, rnd)
+        shutil.rmtree(final, ignore_errors=True)
+        os.replace(staging, final)
 
     def read_deltas(self, spark: SparkSession, base_dir: str,
                     max_round: int, min_round_exclusive: int = -1
@@ -148,6 +160,10 @@ class ParquetManifestFormat:
             if rnd <= up_to_round:
                 shutil.rmtree(self._delta_path(base_dir, rnd), ignore_errors=True)
                 removed += 1
+        if os.path.isdir(base_dir):  # sweep crashed staging leftovers
+            for name in os.listdir(base_dir):
+                if name.startswith(".staging-round="):
+                    shutil.rmtree(os.path.join(base_dir, name), ignore_errors=True)
         return removed
 
     @staticmethod

@@ -121,7 +121,13 @@ def read_windowed_updates(spark, out_dir: str) -> DataFrame:
     input — the keyed-sink contract."""
     from pyspark.sql import Window
 
-    df = spark.read.parquet(out_dir).dropDuplicates()
+    # mergeSchema + coalesce: a sink directory that predates the batch_id
+    # stamp (resumed via its checkpoint) holds mixed schemas — old files'
+    # rows read as batch_id null and must order OLDEST, not crash the read
+    df = spark.read.option("mergeSchema", "true").parquet(out_dir).dropDuplicates()
+    if "batch_id" not in df.columns:
+        df = df.withColumn("batch_id", F.lit(None).cast("long"))
+    df = df.withColumn("batch_id", F.coalesce(F.col("batch_id"), F.lit(-1)))
     w = Window.partitionBy("win_start", "host").orderBy(F.col("batch_id").desc())
     return (
         df.withColumn("_rn", F.row_number().over(w))

@@ -110,6 +110,26 @@ def test_commit_marker(spark, fmt, tmp_path):
     assert fmt.is_committed(rdir)
 
 
+def test_crashed_delta_write_is_invisible(spark, fmt, tmp_path):
+    """A delta write that died mid-flight (staging dir with real parquet
+    data for the parquet format; an unlogged data dir for the commit-log
+    format) must be invisible to every reader — the atomic-publish
+    guarantee the out-of-protocol neg-cache backfill relies on."""
+    base = str(tmp_path / "d")
+    fmt.write_delta(_df(spark, [("a", 1)]), base, 0)
+    if isinstance(fmt, ParquetManifestFormat):
+        crashed = os.path.join(base, ".staging-round=0001")
+    else:
+        crashed = os.path.join(base, "r0001_9999")
+    _df(spark, [("ghost", 9)]).write.parquet(crashed)
+    assert fmt.delta_rounds(base) == [0]
+    got = sorted(map(tuple, fmt.read_deltas(spark, base, max_round=9).collect()))
+    assert got == [("a", 1)]
+    # maintenance sweeps the wreckage
+    fmt.prune_deltas(base, up_to_round=-1)
+    assert not os.path.isdir(crashed)
+
+
 def test_detect_format(tmp_path):
     assert detect_format(str(tmp_path / "absent")) is None
     pq = tmp_path / "pq" / "round=0000"
@@ -199,7 +219,10 @@ def test_compact_checkpoint(spark, tmp_path):
 
         out = compact_checkpoint(spark, cfg)
         assert out["round"] == last and out["pruned_delta_partitions"] > 0
-        assert out["wrote_neg_snapshot"] and out["pruned_neg_delta_partitions"] > 0
+        # the loop's INLINE neg roll-up (every compact_every rounds) may
+        # have already written the snapshot at `last`; either way the
+        # folded delta partitions must be pruned
+        assert out["pruned_neg_delta_partitions"] > 0
         assert cfg.table_format.delta_rounds(fdir) == []
         assert cfg.table_format.delta_rounds(ndir) == []
         # superseded history expired: no frontier snapshot below `last`
