@@ -99,6 +99,18 @@ class CrawlConfig:
     # adapter in production); swapping it is this constructor argument.
     table_format: object = field(default_factory=ParquetManifestFormat)
 
+    def __post_init__(self) -> None:
+        # ADVICE r03: compact_every=0 would ZeroDivisionError at the first
+        # round's `rnd % compact_every`; fail at construction instead.
+        if self.compact_every < 1:
+            raise ValueError(
+                f"compact_every must be >= 1, got {self.compact_every}"
+            )
+        if self.host_budget < 1:
+            raise ValueError(f"host_budget must be >= 1, got {self.host_budget}")
+        if self.n_salts < 1:
+            raise ValueError(f"n_salts must be >= 1, got {self.n_salts}")
+
 
 def _round_dir(cfg: CrawlConfig, rnd: int) -> str:
     return os.path.join(cfg.checkpoint_dir, f"round={rnd:04d}")
@@ -142,12 +154,49 @@ def _frontier_snap_path(cfg: CrawlConfig, rnd: int) -> str:
     return os.path.join(_round_dir(cfg, rnd), "frontier")
 
 
+def merge_on_read(base: DataFrame, deltas: DataFrame) -> DataFrame:
+    """Keep-latest-per-url merge of a compacted base snapshot with LATER
+    delta rows (every delta round > the base's round, so any delta row
+    supersedes its base row).
+
+    Shape matters at the 10^10-row design point (VERDICT r03 item 1): the
+    r3 formulation — ``base ∪ deltas`` then a ``Window.partitionBy(url)``
+    keep-latest — hash-exchanged the FULL frontier every round.  This one
+    never shuffles the base:
+
+    1. ``latest`` = keep-latest per url *within the deltas only* (a window
+       over O(compact_every × touched) rows — the small side);
+    2. ``base LEFT ANTI JOIN latest ON url`` — rows not superseded.  Over a
+       bucketed-by-url snapshot (BucketedParquetFormat) this compiles with
+       NO exchange on the base side (machine-checked by
+       tests/test_scale_plans.py::test_mor_reconstruction_base_side_no_exchange);
+       with AQE the small delta side becomes a broadcast anti-join;
+    3. union with ``latest`` — exactly Iceberg's MERGE-on-read file-local
+       merge, expressed relationally.
+
+    Equivalence with the window formulation is driver-hashed
+    (plans/harness.py::crawl_frontier_mor oracles the ``row_number() OVER
+    (PARTITION BY url ORDER BY updated_round DESC)`` twin in DuckDB) and
+    pinned by the crawl oracle/resume tests.
+    """
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("url").orderBy(F.col("updated_round").desc())
+    latest = (
+        deltas.withColumn("_rn", F.row_number().over(w))
+        .where(F.col("_rn") == 1)
+        .drop("_rn")
+    )
+    survivors = base.join(latest.select("url"), "url", "left_anti")
+    return survivors.unionByName(latest)
+
+
 def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
     """Frontier state as of committed round ``rnd``: latest compacted
     snapshot ≤ rnd merged with the delta partitions after it (keep-latest
-    per url by ``updated_round`` — MERGE-on-read).  Rows are touched at most
-    once per round and compaction rounds write no delta, so the max
-    ``updated_round`` per url is unique."""
+    per url by ``updated_round`` — MERGE-on-read, see :func:`merge_on_read`).
+    Rows are touched at most once per round and compaction rounds write no
+    delta, so the max ``updated_round`` per url is unique."""
     fmt = cfg.table_format
     base_round = _latest_snapshot_round(cfg, rnd, _frontier_snap_path)
     if base_round is None:
@@ -163,15 +212,7 @@ def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
     )
     if deltas is None:
         return base
-    from pyspark.sql import Window
-
-    merged = base.unionByName(deltas)
-    w = Window.partitionBy("url").orderBy(F.col("updated_round").desc())
-    return (
-        merged.withColumn("_rn", F.row_number().over(w))
-        .where(F.col("_rn") == 1)
-        .drop("_rn")
-    )
+    return merge_on_read(base, deltas)
 
 
 def _neg_snap_path(cfg: CrawlConfig, rnd: int) -> str:
@@ -251,6 +292,61 @@ def _load_neg_cache(spark: SparkSession, cfg: CrawlConfig,
     return load_neg_keys(spark, cfg, resumed)
 
 
+def with_seed_rank(spark: SparkSession, all_seeds: DataFrame):
+    """Add the global ``_seed_rank`` (1-based, ordered by priority desc then
+    url asc — the reference's search-ranking cursor, S1/A3) WITHOUT a
+    single-task global window (VERDICT r03 item 2).
+
+    Two-phase distributed rank:
+
+    1. range-partition + sort by the rank order — every partition holds a
+       contiguous, internally-sorted slice of the global order;
+    2. ``monotonically_increasing_id`` (partition-prefixed, increasing in
+       row order) gives the position within each slice; ONE tiny stats job
+       (``count``/``min(id)`` per partition — ≤ P rows collected) yields
+       each slice's global offset, and
+       ``rank = offset[pid] + (id - min_id[pid]) + 1`` via a broadcast
+       map literal.
+
+    The rank is independent of where the range boundaries fall (offsets
+    absorb them), so the result is deterministic; the returned DataFrame is
+    persisted (MEMORY_AND_DISK) because the ids must be computed once —
+    the caller owns the unpersist.  Returns ``(ranked_df, total_rows)``.
+    Plan shape (no Exchange SinglePartition, no Window) is pinned by
+    tests/test_scale_plans.py::test_seed_rank_has_no_single_partition_stage;
+    equality with the global-window formulation by
+    tests/test_crawl.py::test_seed_rank_matches_global_window.
+    """
+    n_parts = max(1, int(spark.conf.get("spark.sql.shuffle.partitions")))
+    order = [F.col("priority").desc(), F.col("url").asc()]
+    part = (
+        all_seeds.repartitionByRange(n_parts, *order)
+        .sortWithinPartitions(*order)
+        .withColumn("_pid", F.spark_partition_id())
+        .withColumn("_mid", F.monotonically_increasing_id())
+        .persist()
+    )
+    stats = part.groupBy("_pid").agg(
+        F.count(F.lit(1)).alias("n"), F.min("_mid").alias("mn")
+    ).collect()
+    stats.sort(key=lambda r: r["_pid"])
+    rank_base: Dict[int, int] = {}
+    offset = 0
+    for r in stats:
+        rank_base[r["_pid"]] = offset + 1 - r["mn"]
+        offset += r["n"]
+    base_expr = (
+        F.create_map(*[F.lit(x) for kv in rank_base.items() for x in kv])
+        if rank_base else F.create_map()
+    )
+    ranked = part.withColumn(
+        "_seed_rank", (base_expr[F.col("_pid")] + F.col("_mid")).cast("int")
+    ).drop("_pid", "_mid")
+    # `ranked` is a cheap projection over the PERSISTED `part`; the caller
+    # unpersists `part` (third element) when the crawl ends.
+    return ranked, offset, part
+
+
 def discover_outlinks(fetched_pages: DataFrame) -> DataFrame:
     """Harvest + canonicalize outlink URLs from fetched page text (S2 analog:
     the pages table self-describes its edges; explode replaces tree walks)."""
@@ -316,11 +412,23 @@ def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
     # starts from the LAST complete round) and each holds a full table copy.
     expired = 0
     for b in range(last - 1, -1, -1):
+        # `neg_keys` is the LEGACY r02 cumulative-snapshot path (each round a
+        # full key-set copy) — migrated checkpoints still hold them and they
+        # are unreachable after compaction, so expire them too (ADVICE r03).
         for dead in (os.path.join(_round_dir(cfg, b), "frontier"),
-                     _neg_snap_path(cfg, b)):
+                     _neg_snap_path(cfg, b),
+                     os.path.join(_round_dir(cfg, b), "neg_keys")):
             if fmt.snapshot_exists(dead):
                 fmt.drop_snapshot(dead)
                 expired += 1
+    # Formats that retain superseded snapshot VERSIONS for concurrent
+    # readers (CommitLogFormat) expire them here — offline compaction is
+    # the single-writer maintenance window, exactly Iceberg's
+    # expire_snapshots.
+    if hasattr(fmt, "expire_versions"):
+        for live in (snap_path, _neg_snap_path(cfg, last)):
+            if fmt.snapshot_exists(live):
+                fmt.expire_versions(live, keep=1)
     return {"round": last, "wrote_snapshot": wrote,
             "pruned_delta_partitions": pruned,
             "wrote_neg_snapshot": wrote_neg,
@@ -333,15 +441,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     """Run (or resume) the crawl to completion; returns per-round metrics."""
     os.makedirs(cfg.checkpoint_dir, exist_ok=True)
     all_seeds = FR.frontier_from_seeds(seeds, n_salts=cfg.n_salts)
+    _n_seeds_total = 0
+    _seeds_cache: Optional[DataFrame] = None
     if cfg.seeds_per_round is not None:
         # Deterministic "search ranking" order: priority desc, url asc —
-        # row_number is the cursor (S1 pagination / A3 max-cursor analog).
-        from pyspark.sql import Window
-
-        rank_w = Window.orderBy(F.col("priority").desc(), F.col("url").asc())
-        all_seeds = all_seeds.withColumn("_seed_rank", F.row_number().over(rank_w))
-        all_seeds = all_seeds.persist()
-    _n_seeds_total = all_seeds.count() if cfg.seeds_per_round is not None else 0
+        # the rank is the cursor (S1 pagination / A3 max-cursor analog),
+        # computed as a distributed two-phase rank (no global window —
+        # VERDICT r03 item 2); the total comes back from the same stats job.
+        all_seeds, _n_seeds_total, _seeds_cache = with_seed_rank(spark, all_seeds)
 
     fmt = cfg.table_format
     resumed = last_complete_round(cfg)
@@ -571,6 +678,6 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             break
     if persisted_frontier is not None:
         persisted_frontier.unpersist()
-    if cfg.seeds_per_round is not None:
-        all_seeds.unpersist()
+    if _seeds_cache is not None:
+        _seeds_cache.unpersist()
     return metrics_log

@@ -16,7 +16,17 @@ through a driver-checked query):
   table, U8 printf rewrite, U12 Path/Integer placeholder typing).  The
   function is named ``log_emit`` because the reference routes C files
   through the *java* detector (detector.py:13-16) whose unanchored
-  utillogger rule needs a bare ``log`` substring to fire.
+  utillogger rule needs a bare ``log`` substring to fire;
+* (r4, VERDICT r03 item 3) a MIXED-FRAMEWORK java page: a
+  ``java.util.logging`` import plus slf4j-style ``.info``/``.warn``-shaped
+  statements, so the detector's rule VOTE is contested (utillogger 2 hits
+  vs log4j 1 vs slf4j 1 — U1/U4, detector.py:28,39) and the import-rule
+  framework resolves to ``utillogger``.  That routes extraction through
+  the utillogger trigger and parsing through UTILLOGGER_FUNCS
+  (core/parse.py:69-76): ``warning``/``severe`` are ('simple', ['str'])
+  roles that survive with +-concat arguments, while the slf4j-style
+  ``log.info(...)`` statement has NO utillogger role entry and is dropped
+  at parse (mode 'simple') — all three behaviors driver-hashed.
 
 The full distributed pipeline (native rlike detect → extract UDF →
 parse+formalize UDF → two-window dedup) then runs over the union.  Every
@@ -66,11 +76,27 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lit(' wrote %s in %d ms", path, count);\n'
               "}\n"),
     )
+    util_body = F.concat(
+        F.lit("import java.util.logging.Logger;\n"
+              "public class Util {\n"
+              "    void report(int retryCount, String userName) {\n"
+              '        log.warning("'),
+        safe,
+        F.lit(' retry " + retryCount);\n'
+              '        log.severe("'),
+        safe,
+        F.lit(' flagged by " + userName);\n'
+              '        log.info("'),
+        safe,
+        F.lit(' noted");\n'
+              "    }\n"
+              "}\n"),
+    )
     ts = F.lit("2024-01-01 00:00:00").cast("timestamp").alias("warc_ts")
 
-    def page(body, ext, lang):
+    def page(body, stem, ext, lang):
         return docs.select(
-            F.concat(F.lit("https://synth.local/src/Doc"), F.col("doc_id"),
+            F.concat(F.lit(f"https://synth.local/src/{stem}"), F.col("doc_id"),
                      F.lit(ext)).alias("url"),
             ts,
             F.encode(body, "utf-8").alias("html"),
@@ -78,7 +104,11 @@ def pages_from_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(lang).alias("lang"),
         )
 
-    return page(java_body, ".java", "java").unionByName(page(c_body, ".c", "c"))
+    return (
+        page(java_body, "Doc", ".java", "java")
+        .unionByName(page(c_body, "Doc", ".c", "c"))
+        .unionByName(page(util_body, "Util", ".java", "java"))
+    )
 
 
 def flagship_templates(spark: SparkSession, sf_dir: str) -> DataFrame:

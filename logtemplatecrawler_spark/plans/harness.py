@@ -1316,6 +1316,76 @@ def text_token_count_regex(spark, sf_dir):
 # Flagship: the full crawl/template pipeline (U1-U12, F6-F10, W3 end-to-end)
 # ---------------------------------------------------------------------------
 
+@_q("crawl_frontier_mor", sql="""
+    WITH ev AS (
+      SELECT event_id, user_id FROM events
+    ), urls AS (
+      SELECT 'https://h' || CAST(user_id % 50 AS VARCHAR)
+             || '.example.org/p/' || CAST(event_id AS VARCHAR) AS url,
+             event_id
+      FROM ev
+    ), merged AS (
+      SELECT url, 'pending' AS state, CAST(0 AS BIGINT) AS updated_round
+      FROM urls
+      UNION ALL
+      SELECT url, 'done' AS state, CAST(1 AS BIGINT) AS updated_round
+      FROM urls WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT url, 'missing' AS state, CAST(2 AS BIGINT) AS updated_round
+      FROM urls WHERE event_id % 5 = 0
+      UNION ALL
+      SELECT 'https://new.example.org/p/' || CAST(event_id AS VARCHAR) AS url,
+             'pending' AS state, CAST(2 AS BIGINT) AS updated_round
+      FROM ev WHERE event_id % 7 = 0
+    ), ranked AS (
+      SELECT url, state, updated_round,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY updated_round DESC) AS rn
+      FROM merged
+    )
+    SELECT url, state, updated_round FROM ranked WHERE rn = 1
+""")
+def crawl_frontier_mor(spark, sf_dir):
+    """Driver check of ``load_frontier``'s MERGE-on-read reconstruction
+    (crawl/scheduler.py::merge_on_read — the most load-bearing crawl-loop
+    path, previously pytest-only; VERDICT r03 item 6).
+
+    A frontier base snapshot plus two later delta rounds (state flips at
+    rounds 1/2 with overlapping urls, plus round-2 NEW admissions absent
+    from the base) are derived deterministically from ``events``, and the
+    ACTUAL engine function ``merge_on_read`` (delta-latest window →
+    base anti-join → union) reconstructs the state.  The DuckDB oracle is
+    the r3 *window* formulation — ``row_number() OVER (PARTITION BY url
+    ORDER BY updated_round DESC)`` over base ∪ deltas — so a hash match
+    proves the exchange-free join rewrite ≡ keep-latest semantics."""
+    from logtemplatecrawler_spark.crawl.scheduler import merge_on_read
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    url = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.org/p/"), F.col("event_id").cast("string"),
+    )
+    base = ev.select(
+        url.alias("url"), F.lit("pending").alias("state"),
+        F.lit(0).cast("bigint").alias("updated_round"),
+    )
+    d1 = ev.where(F.col("event_id") % 3 == 0).select(
+        url.alias("url"), F.lit("done").alias("state"),
+        F.lit(1).cast("bigint").alias("updated_round"),
+    )
+    d2 = ev.where(F.col("event_id") % 5 == 0).select(
+        url.alias("url"), F.lit("missing").alias("state"),
+        F.lit(2).cast("bigint").alias("updated_round"),
+    )
+    d2_new = ev.where(F.col("event_id") % 7 == 0).select(
+        F.concat(F.lit("https://new.example.org/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.lit("pending").alias("state"),
+        F.lit(2).cast("bigint").alias("updated_round"),
+    )
+    return merge_on_read(base, d1.unionByName(d2).unionByName(d2_new))
+
+
 _FLAGSHIP_SQL = """
     WITH pages AS (
       SELECT CAST(doc_id AS VARCHAR) AS did,
@@ -1366,6 +1436,31 @@ _FLAGSHIP_SQL = """
              safe || ' wrote {} in {} ms',
              '["path","count"]',
              safe || ' wrote {PathPlaceholder} in {IntegerPlaceholder} ms'
+      FROM pages
+      UNION ALL
+      -- mixed-framework page (r4): util.logging import wins the import-rule
+      -- vote → framework 'utillogger'; warning/severe parse under the
+      -- ('simple', ['str']) utillogger roles with +-concat args; the page's
+      -- third statement (slf4j-style log.info) has no utillogger role and
+      -- is dropped at parse — so exactly two rows per page survive
+      SELECT 'https://synth.local/src/Util' || did || '.java',
+             'src/Util' || did || '.java',
+             CAST(0 AS INTEGER), 'utillogger',
+             'log.warning("' || safe || ' retry " + retryCount)',
+             safe || ' retry {}',
+             '["retryCount"]',
+             safe || ' retry {IntegerPlaceholder}'
+      FROM pages
+      UNION ALL
+      -- crc32('userName|0') % 2 picks StringPlaceholder among
+      -- (User, String) — pinned by tests/test_spark_pipeline.py
+      SELECT 'https://synth.local/src/Util' || did || '.java',
+             'src/Util' || did || '.java',
+             CAST(1 AS INTEGER), 'utillogger',
+             'log.severe("' || safe || ' flagged by " + userName)',
+             safe || ' flagged by {}',
+             '["userName"]',
+             safe || ' flagged by {StringPlaceholder}'
       FROM pages
     ), ranked AS (
       SELECT *,

@@ -56,6 +56,12 @@ def build_session(app_name: str = "logtemplatecrawler-spark",
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
+        # ParquetManifestFormat.snapshot_exists trusts the _SUCCESS marker as
+        # the write-completeness signal; object-store configs commonly turn
+        # it off (marksuccessfuljobs=false), which would make every committed
+        # snapshot read as absent on resume — pin it on (ADVICE r03).
+        .config("spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+                "true")
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
     )

@@ -82,7 +82,9 @@ class ParquetManifestFormat:
         # _SUCCESS is the completeness marker Spark writes LAST — a
         # crash-truncated snapshot (parquet files present, no _SUCCESS)
         # must read as absent, or readers (and the offline compaction's
-        # skip-if-exists) would trust partial data.
+        # skip-if-exists) would trust partial data.  DEPENDENCY: requires
+        # mapreduce.fileoutputcommitter.marksuccessfuljobs=true (object-store
+        # profiles often disable it); session.build_session pins it on.
         return os.path.isdir(path) and "_SUCCESS" in os.listdir(path)
 
     def drop_snapshot(self, path: str) -> None:
@@ -183,22 +185,174 @@ class ParquetManifestFormat:
         return os.path.exists(os.path.join(round_dir, _MANIFEST))
 
 
+class BucketedParquetFormat(ParquetManifestFormat):
+    """ParquetManifestFormat whose FRONTIER snapshots are Spark bucketed
+    tables, CLUSTERED/SORTED BY ``url`` (VERDICT r03 item 1).
+
+    Why: ``load_frontier``'s MERGE-on-read anti-joins the full base snapshot
+    against the (small) delta set on ``url``, and the round loop's seen
+    anti-join / fetch join also key on ``url``.  Over plain parquet Spark
+    must hash-exchange the whole frontier for those joins — the single
+    biggest per-round network cost at the 10^10-row design point.  A
+    bucketed table scan reports ``HashPartitioning(url, n_buckets)``, so
+    those joins compile exchange-free on the base side (only the small side
+    shuffles) — Iceberg merges MOR file-locally against clustered data for
+    exactly this reason.  Machine-checked:
+    tests/test_scale_plans.py::test_mor_reconstruction_base_side_no_exchange.
+
+    Mechanics (all public Spark API):
+
+    * ``write_snapshot`` pre-repartitions by the bucket expression (so each
+      task owns exactly one bucket → one file per bucket, preserving the
+      SORTED BY metadata's usefulness) and writes via
+      ``bucketBy(n, 'url').sortBy('url').saveAsTable`` with an explicit
+      ``path`` (external table).  A ``_BUCKETS.json`` marker records the
+      spec — bucket metadata lives in the session catalog, which does not
+      survive a restart, so…
+    * ``read_snapshot`` re-registers the table on a fresh session with
+      ``CREATE TABLE … USING PARQUET CLUSTERED BY (url) SORTED BY (url)
+      INTO n BUCKETS LOCATION path`` (bucket ids are encoded in the file
+      names Spark wrote, so the re-registered table reads bucket-aware) and
+      returns ``spark.table(name)``.
+    * Non-frontier snapshots (templates, neg keys) fall through to the
+      plain parquet base class — bucketing them buys nothing.
+    * Deltas stay round-partitioned plain parquet (they are the SMALL,
+      always-shuffled side of every merge).
+
+    ``n_buckets`` is the cluster knob: at warehouse scale size it so one
+    bucket ≈ one task's worth of frontier (e.g. 4096 buckets at 10^10 rows
+    ≈ 2.4M rows/bucket).  NOTE: Spark's ``DisableUnnecessaryBucketedScan``
+    planner rule falls back to a plain scan (still correct, just not
+    exchange-free) when the bucket count is below the session's shuffle
+    partitions — keep ``n_buckets >= spark.sql.shuffle.partitions``.
+    """
+
+    _BUCKET_MARKER = "_BUCKETS.json"
+    _BUCKET_COL = "url"
+    # a snapshot is "frontier-shaped" iff it has these columns
+    _FRONTIER_COLS = {"url", "url_hash", "state", "updated_round"}
+
+    def __init__(self, n_buckets: int = 32):
+        if n_buckets < 1:
+            raise ValueError("n_buckets must be >= 1")
+        self.n_buckets = n_buckets
+
+    @staticmethod
+    def _table_name(path: str) -> str:
+        import hashlib
+
+        digest = hashlib.md5(os.path.abspath(path).encode()).hexdigest()[:16]
+        return f"ckpt_snap_{digest}"
+
+    def write_snapshot(self, df: DataFrame, path: str) -> None:
+        if not self._FRONTIER_COLS <= set(df.columns):
+            super().write_snapshot(df, path)
+            return
+        name = self._table_name(path)
+        spark = df.sparkSession
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        shutil.rmtree(path, ignore_errors=True)
+        (
+            df.repartition(self.n_buckets, self._BUCKET_COL)
+            .write.mode("overwrite")
+            .format("parquet")
+            .option("path", path)
+            .bucketBy(self.n_buckets, self._BUCKET_COL)
+            .sortBy(self._BUCKET_COL)
+            .saveAsTable(name)
+        )
+        _atomic_write_json(
+            os.path.join(path, self._BUCKET_MARKER),
+            {"n_buckets": self.n_buckets, "bucket_col": self._BUCKET_COL},
+        )
+
+    def read_snapshot(self, spark: SparkSession, path: str) -> DataFrame:
+        marker = os.path.join(path, self._BUCKET_MARKER)
+        if not os.path.exists(marker):
+            return super().read_snapshot(spark, path)
+        with open(marker) as fh:
+            spec = json.load(fh)
+        name = self._table_name(path)
+        if not spark.catalog.tableExists(name):
+            schema = spark.read.parquet(path).schema
+            cols = ", ".join(
+                f"`{f.name}` {f.dataType.simpleString()}" for f in schema.fields
+            )
+            spark.sql(
+                f"CREATE TABLE {name} ({cols}) USING PARQUET "
+                f"CLUSTERED BY ({spec['bucket_col']}) "
+                f"SORTED BY ({spec['bucket_col']}) "
+                f"INTO {spec['n_buckets']} BUCKETS "
+                f"LOCATION '{os.path.abspath(path)}'"
+            )
+        return spark.table(name)
+
+    def drop_snapshot(self, path: str) -> None:
+        from pyspark.sql import SparkSession
+
+        spark = SparkSession.getActiveSession()
+        if spark is not None:
+            spark.sql(f"DROP TABLE IF EXISTS {self._table_name(path)}")
+        super().drop_snapshot(path)
+
+
 def detect_format(checkpoint_dir: str):
     """Infer the table format of an EXISTING checkpoint from its on-disk
     commit markers (``MANIFEST.json`` → parquet+manifest, ``_commit.json``
-    → commit-log).  Returns None for a fresh or unrecognizable directory —
-    callers choose a default for new checkpoints and can turn None on a
-    non-empty dir into a clear format-mismatch error instead of the
-    misleading "no committed round"."""
+    → commit-log), falling back to the delta-directory markers
+    (``_log.json`` → commit-log, ``round=`` partition dirs → parquet) for a
+    checkpoint that crashed before its first round commit (ADVICE r03 —
+    defaulting such a dir to parquet made read_deltas choke on commit-log
+    data dirs).  Returns None for a fresh (or absent) directory — callers
+    choose a default for new checkpoints; see :func:`require_format` for
+    the strict variant."""
     if not os.path.isdir(checkpoint_dir):
         return None
+    manifest_seen = False
     for name in sorted(os.listdir(checkpoint_dir)):
         if name.startswith("round="):
             rdir = os.path.join(checkpoint_dir, name)
+            # a bucketed frontier snapshot marks the whole checkpoint as
+            # BucketedParquetFormat (compaction must keep rewriting
+            # snapshots bucketed, not silently downgrade to plain parquet)
+            bmark = os.path.join(
+                rdir, "frontier", BucketedParquetFormat._BUCKET_MARKER
+            )
+            if os.path.exists(bmark):
+                with open(bmark) as fh:
+                    return BucketedParquetFormat(json.load(fh)["n_buckets"])
             if os.path.exists(os.path.join(rdir, _MANIFEST)):
-                return ParquetManifestFormat()
+                manifest_seen = True
             if os.path.exists(os.path.join(rdir, CommitLogFormat._COMMIT)):
                 return CommitLogFormat()
+    if manifest_seen:
+        return ParquetManifestFormat()
+    for sub in ("frontier_deltas", "neg_keys"):
+        d = os.path.join(checkpoint_dir, sub)
+        if os.path.exists(os.path.join(d, CommitLogFormat._LOG)):
+            return CommitLogFormat()
+        if os.path.isdir(d) and any(
+            n.startswith("round=") or n.startswith(".staging-round=")
+            for n in os.listdir(d)
+        ):
+            return ParquetManifestFormat()
+    return None
+
+
+def require_format(checkpoint_dir: str):
+    """Strict auto-detection for resume paths: None only when the directory
+    is fresh (absent or empty); a NON-EMPTY unrecognizable directory raises
+    instead of silently defaulting to a format that would misread it."""
+    fmt = detect_format(checkpoint_dir)
+    if fmt is not None:
+        return fmt
+    if os.path.isdir(checkpoint_dir) and os.listdir(checkpoint_dir):
+        raise ValueError(
+            f"{checkpoint_dir} is non-empty but carries no recognizable "
+            "checkpoint markers (MANIFEST.json/_commit.json/_log.json/"
+            "round= partitions); refusing to guess a table format — pass "
+            "--format explicitly or point at a fresh directory"
+        )
     return None
 
 
@@ -225,14 +379,35 @@ class CommitLogFormat:
       range filter prunes on row-group stats);
     * the commit marker is ``_commit.json`` written with the same atomic
       replace — proving the scheduler depends only on
-      ``commit_round``/``is_committed`` semantics, not on MANIFEST naming.
+      ``commit_round``/``is_committed`` semantics, not on MANIFEST naming;
+    * superseded snapshot versions are RETAINED (``retained_versions``,
+      default 2 = current + previous) so a concurrent reader that resolved
+      the old pointer just before an overwrite still finds its files —
+      Iceberg keeps history until ``expire_snapshots`` for the same reason.
+      ``expire_versions`` is the offline maintenance call (run by
+      ``compact_checkpoint``, a single-writer window) that trims history
+      down to the newest ``keep`` versions.  Pinned by
+      tests/test_table_format_contract.py::test_commitlog_version_retention.
     """
 
     _META = "_meta.json"
     _LOG = "_log.json"
     _COMMIT = "_commit.json"
 
+    def __init__(self, retained_versions: int = 2):
+        if retained_versions < 1:
+            raise ValueError("retained_versions must be >= 1")
+        self.retained_versions = retained_versions
+
     # -- snapshots -----------------------------------------------------------
+
+    @staticmethod
+    def _version_dirs(path: str):
+        """Snapshot version data dirs under ``path``, oldest first."""
+        return sorted(
+            name for name in os.listdir(path)
+            if name.startswith("v") and name[1:].isdigit()
+        )
 
     def write_snapshot(self, df: DataFrame, path: str) -> None:
         meta_path = os.path.join(path, self._META)
@@ -243,12 +418,21 @@ class CommitLogFormat:
         data = f"v{version:06d}"
         df.write.mode("overwrite").parquet(os.path.join(path, data))
         _atomic_write_json(meta_path, {"version": version, "data": data})
-        # best-effort GC of superseded versions (readers of the old pointer
-        # have already resolved their file lists; the sandbox has no
-        # concurrent readers mid-swap)
-        for name in os.listdir(path):
-            if name.startswith("v") and name != data and not name.endswith(".tmp"):
-                shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        # GC versions beyond the retention window; the newest
+        # ``retained_versions`` (current included) stay readable for
+        # concurrent readers holding a just-superseded pointer.
+        for name in self._version_dirs(path)[:-self.retained_versions]:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+    def expire_versions(self, path: str, keep: int = 1) -> int:
+        """Offline history expiry (single-writer maintenance window): drop
+        all but the newest ``keep`` version dirs.  Returns dirs removed."""
+        if keep < 1:
+            raise ValueError("keep must be >= 1")
+        doomed = self._version_dirs(path)[:-keep]
+        for name in doomed:
+            shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+        return len(doomed)
 
     def _resolve(self, path: str) -> str:
         with open(os.path.join(path, self._META)) as fh:

@@ -27,20 +27,27 @@ def main() -> None:
     ap.add_argument("--rounds", type=int, default=100)
     ap.add_argument("--fixture-pages", type=int, default=400)
     ap.add_argument("--master", default=None)
-    ap.add_argument("--format", choices=["auto", "parquet", "commitlog"],
+    ap.add_argument("--format", choices=["auto", "parquet", "commitlog",
+                                         "bucketed"],
                     default="auto",
                     help="checkpoint table format: auto (default) infers an "
                          "existing checkpoint's format from its commit "
-                         "markers and uses parquet for a fresh one")
+                         "markers and uses parquet for a fresh one; "
+                         "bucketed = parquet with frontier snapshots as "
+                         "CLUSTERED BY (url) bucketed tables (exchange-free "
+                         "MERGE-on-read)")
+    ap.add_argument("--buckets", type=int, default=32,
+                    help="bucket count for --format bucketed")
     args = ap.parse_args()
 
     from logtemplatecrawler_spark.session import build_session
     from logtemplatecrawler_spark.crawl.scheduler import CrawlConfig, run_crawl
     from logtemplatecrawler_spark.sources import fixtures
     from logtemplatecrawler_spark.sources.table_format import (
+        BucketedParquetFormat,
         CommitLogFormat,
         ParquetManifestFormat,
-        detect_format,
+        require_format,
     )
 
     spark = build_session("crawl", master=args.master)
@@ -62,10 +69,16 @@ def main() -> None:
         robots = fixtures.robots_df(spark, rows, seed=42)
 
     if args.format == "auto":
-        fmt = detect_format(args.checkpoint) or ParquetManifestFormat()
+        # require_format raises on a non-empty unrecognizable checkpoint
+        # instead of silently defaulting to a format that would misread it
+        # (ADVICE r03); a genuinely fresh dir starts on parquet.
+        fmt = require_format(args.checkpoint) or ParquetManifestFormat()
+    elif args.format == "parquet":
+        fmt = ParquetManifestFormat()
+    elif args.format == "bucketed":
+        fmt = BucketedParquetFormat(n_buckets=args.buckets)
     else:
-        fmt = (ParquetManifestFormat() if args.format == "parquet"
-               else CommitLogFormat())
+        fmt = CommitLogFormat()
     cfg = CrawlConfig(
         checkpoint_dir=args.checkpoint,
         host_budget=args.budget,

@@ -261,6 +261,42 @@ def test_seed_paging_matches_oracle(spark, corpus, tmp_path_factory):
     assert got == want
 
 
+def test_seed_rank_matches_global_window(spark):
+    """The distributed two-phase seed rank (range partition + per-slice
+    offsets) must equal the r3 global-window formulation exactly —
+    including heavy priority ties spanning partition boundaries."""
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.crawl.frontier import frontier_from_seeds
+    from logtemplatecrawler_spark.crawl.scheduler import with_seed_rank
+
+    seeds = spark.range(3_000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 13).cast("string"),
+                 F.lit(".example.org/s/"), "id").alias("url"),
+        # only 3 distinct priorities over 3000 rows → every range partition
+        # boundary falls inside a tie run
+        (F.col("id") % 3).cast("int").alias("priority"),
+    )
+    base = frontier_from_seeds(seeds)
+    ranked, total, cache = with_seed_rank(spark, base)
+    try:
+        got = {r["url"]: r["_seed_rank"] for r in ranked.collect()}
+        w = Window.orderBy(F.col("priority").desc(), F.col("url").asc())
+        want = {
+            r["url"]: r["_seed_rank"]
+            for r in base.withColumn(
+                "_seed_rank", F.row_number().over(w)).collect()
+        }
+        assert total == 3_000 == len(got)
+        assert got == want
+        # deterministic across a second evaluation of the same frame
+        again = {r["url"]: r["_seed_rank"] for r in ranked.collect()}
+        assert again == got
+    finally:
+        cache.unpersist()
+
+
 def test_bloom_exactness():
     hashes = [(i * 2654435761) % (1 << 64) for i in range(2000)]
     bloom = HashBloom(hashes)

@@ -100,6 +100,29 @@ def test_politeness_pop_uses_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan
 
 
+def test_seed_rank_has_no_single_partition_stage(spark):
+    """VERDICT r03 item 2: the seed-ranking cursor must not funnel the whole
+    seed list through one task — no global Window, no SinglePartition
+    exchange; the only wide op is the range partitioning."""
+    from logtemplatecrawler_spark.crawl.frontier import frontier_from_seeds
+    from logtemplatecrawler_spark.crawl.scheduler import with_seed_rank
+
+    seeds = spark.range(5_000).select(
+        F.concat(F.lit("https://h"), (F.col("id") % 11).cast("string"),
+                 F.lit(".example.org/s/"), "id").alias("url"),
+        (F.col("id") % 7).cast("int").alias("priority"),
+    )
+    ranked, total, cache = with_seed_rank(spark, frontier_from_seeds(seeds))
+    try:
+        plan = _explain(ranked, "simple")
+        assert "SinglePartition" not in plan, plan
+        assert "Window" not in plan, plan
+        assert "rangepartitioning" in plan, plan
+        assert total == 5_000
+    finally:
+        cache.unpersist()
+
+
 def test_robots_gate_broadcasts(spark):
     """The per-host prefix table joins as a broadcast — the frontier side
     must not shuffle for the robots gate."""
@@ -117,6 +140,65 @@ def test_robots_gate_broadcasts(spark):
     assert "BroadcastHashJoin" in plan, plan
     # no SortMergeJoin / ShuffledHashJoin anywhere in the gate
     assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan, plan
+
+
+def test_mor_reconstruction_base_side_no_exchange(spark, tmp_path):
+    """VERDICT r03 item 1: ``load_frontier``'s MERGE-on-read must not
+    hash-exchange the full frontier.  Over a BucketedParquetFormat snapshot
+    the anti-join's base side compiles exchange-free (one fewer Exchange
+    than the plain-parquet plan of the identical merge); with the small
+    delta side broadcastable, the base never shuffles at all."""
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.crawl.scheduler import merge_on_read
+    from logtemplatecrawler_spark.sources.table_format import (
+        BucketedParquetFormat,
+    )
+
+    front = (
+        with_frontier_keys(
+            spark.range(20_000).select(
+                F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                         F.lit(".example.org/p/"), "id").alias("url")
+            )
+        )
+        .withColumn("priority", F.lit(1))
+        .withColumn("depth", F.lit(0))
+        .withColumn("state", F.lit("pending"))
+        .withColumn("round_added", F.lit(0))
+        .withColumn("updated_round", F.lit(0))
+        .drop("id")
+    )
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    fmt = BucketedParquetFormat(n_buckets=n_buckets)
+    path = str(tmp_path / "frontier_snap")
+    fmt.write_snapshot(front, path)
+    base_bucketed = fmt.read_snapshot(spark, path)
+    base_plain = spark.read.parquet(path)
+    deltas = (
+        front.where(F.pmod(F.xxhash64("url"), F.lit(50)) == 0)
+        .withColumn("state", F.lit("done"))
+        .withColumn("updated_round", F.lit(1))
+    )
+
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plain = _explain(merge_on_read(base_plain, deltas), "simple")
+        bucketed = _explain(merge_on_read(base_bucketed, deltas), "simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "Bucketed: true" in bucketed, bucketed
+    assert plain.count("Exchange") - bucketed.count("Exchange") == 1, (
+        plain, bucketed,
+    )
+    # with broadcast on (the common case: deltas ≤ compact_every × touched
+    # rows), the base side never shuffles regardless of layout
+    broadcasted = _explain(merge_on_read(base_plain, deltas), "simple")
+    assert "BroadcastHashJoin" in broadcasted, broadcasted
+    # merged result is the keep-latest merge (sanity, not just plan shape)
+    merged = merge_on_read(base_bucketed, deltas)
+    assert merged.count() == 20_000
+    assert merged.where(F.col("state") == "done").count() == deltas.count()
 
 
 def test_bucketed_frontier_join_is_one_sided(spark, tmp_path):

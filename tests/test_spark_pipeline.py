@@ -116,8 +116,10 @@ def test_flagship_hard_paths(spark):
     }
     assert keyed_got == keyed_want
     # coverage: every hard path produced surviving rows
-    stmt1 = [v for k, v in keyed_got.items() if k[0].endswith(".java") and k[2] == 1]
-    stmt2 = [v for k, v in keyed_got.items() if k[0].endswith(".java") and k[2] == 2]
+    stmt1 = [v for k, v in keyed_got.items()
+             if "/Doc" in k[0] and k[0].endswith(".java") and k[2] == 1]
+    stmt2 = [v for k, v in keyed_got.items()
+             if "/Doc" in k[0] and k[0].endswith(".java") and k[2] == 2]
     c_rows = [v for k, v in keyed_got.items() if k[0].endswith(".c")]
     assert stmt1 and all(v[3] == ("stageName ",) for v in stmt1)  # concat quirk
     assert stmt2 and all(v[3] == ("elapsedMillis",) for v in stmt2)  # %d rewrite
@@ -125,3 +127,24 @@ def test_flagship_hard_paths(spark):
         "{PathPlaceholder}" in v[4] and "{IntegerPlaceholder}" in v[4]
         for v in c_rows
     )
+    # mixed-framework page (r4): utillogger wins the import vote, the
+    # ('simple', ['str']) roles survive with concat args, and the slf4j-
+    # style log.info statement (no utillogger role) is dropped at parse —
+    # surviving stmt_idx per Util page is exactly {0, 1}
+    util_rows = {k: v for k, v in keyed_got.items() if "/Util" in k[0]}
+    assert util_rows and all(v[0] == "utillogger" for v in util_rows.values())
+    by_page = {}
+    for k in util_rows:
+        by_page.setdefault(k[0], set()).add(k[2])
+    assert all(idx == {0, 1} for idx in by_page.values())
+    assert all(
+        v[4].endswith("{IntegerPlaceholder}") for k, v in util_rows.items()
+        if k[2] == 0
+    )
+    assert all(
+        v[4].endswith("{StringPlaceholder}") for k, v in util_rows.items()
+        if k[2] == 1
+    )
+    # ≥3 frameworks flow through the driver-hashed flagship (VERDICT r03
+    # item 3 done-criterion)
+    assert {v[0] for v in keyed_got.values()} >= {"slf4j", "unknown", "utillogger"}

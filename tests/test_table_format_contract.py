@@ -32,12 +32,14 @@ from logtemplatecrawler_spark.sources.fixtures import (
     seeds_df,
 )
 from logtemplatecrawler_spark.sources.table_format import (
+    BucketedParquetFormat,
     CommitLogFormat,
     ParquetManifestFormat,
     detect_format,
+    require_format,
 )
 
-FORMATS = [ParquetManifestFormat, CommitLogFormat]
+FORMATS = [ParquetManifestFormat, CommitLogFormat, BucketedParquetFormat]
 
 
 @pytest.fixture(params=FORMATS, ids=lambda c: c.__name__)
@@ -140,6 +142,142 @@ def test_detect_format(tmp_path):
     cl.mkdir(parents=True)
     CommitLogFormat().commit_round(str(cl))
     assert isinstance(detect_format(str(tmp_path / "cl")), CommitLogFormat)
+
+
+def test_bucketed_snapshot_roundtrip_and_reregister(spark, tmp_path):
+    """Frontier-shaped snapshots under BucketedParquetFormat write as
+    bucketed tables, read back identically, survive a catalog wipe (the
+    resume path re-registers from the on-disk marker), and stay readable
+    by the PLAIN parquet format (cross-format compatibility)."""
+    from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+    from pyspark.sql import functions as F
+
+    front = (
+        with_frontier_keys(
+            spark.range(500).select(
+                F.concat(F.lit("https://h"), (F.col("id") % 5).cast("string"),
+                         F.lit(".example.org/p/"), "id").alias("url")
+            )
+        )
+        .withColumn("priority", F.lit(1))
+        .withColumn("depth", F.lit(0))
+        .withColumn("state", F.lit("pending"))
+        .withColumn("round_added", F.lit(0))
+        .withColumn("updated_round", F.lit(0))
+        .drop("id")
+    )
+    fmt = BucketedParquetFormat(n_buckets=4)
+    path = str(tmp_path / "snap")
+    fmt.write_snapshot(front, path)
+    assert fmt.snapshot_exists(path)
+    expect = {tuple(r) for r in front.collect()}
+    assert {tuple(r) for r in fmt.read_snapshot(spark, path).collect()} == expect
+    # catalog wipe = fresh session resume: re-registration from the marker
+    spark.sql(f"DROP TABLE IF EXISTS {fmt._table_name(path)}")
+    assert {tuple(r) for r in fmt.read_snapshot(spark, path).collect()} == expect
+    # the files are plain parquet: the base format reads them too
+    got = {tuple(r) for r in
+           ParquetManifestFormat().read_snapshot(spark, path).collect()}
+    assert got == expect
+    # overwrite fully replaces, and drop_snapshot removes files + table
+    fmt.write_snapshot(front.where(F.col("salt") == 0), path)
+    assert fmt.read_snapshot(spark, path).count() == \
+        front.where(F.col("salt") == 0).count()
+    fmt.drop_snapshot(path)
+    assert not fmt.snapshot_exists(path)
+    assert not spark.catalog.tableExists(fmt._table_name(path))
+    # non-frontier snapshots fall through to plain parquet (no catalog table)
+    other = str(tmp_path / "other")
+    fmt.write_snapshot(_df(spark, [("a", 1)]), other)
+    assert not os.path.exists(os.path.join(other, fmt._BUCKET_MARKER))
+    assert [tuple(r) for r in fmt.read_snapshot(spark, other).collect()] == [("a", 1)]
+
+
+def test_detect_format_bucketed(spark, tmp_path):
+    """A checkpoint whose frontier snapshots carry the bucket marker
+    auto-detects as BucketedParquetFormat with the recorded bucket count —
+    offline compaction must not silently downgrade the layout."""
+    from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+    from pyspark.sql import functions as F
+
+    ckpt = tmp_path / "bk"
+    rdir = ckpt / "round=0000"
+    front = (
+        with_frontier_keys(
+            spark.range(50).select(
+                F.concat(F.lit("https://x.org/p/"), "id").alias("url"))
+        )
+        .withColumn("priority", F.lit(1)).withColumn("depth", F.lit(0))
+        .withColumn("state", F.lit("pending"))
+        .withColumn("round_added", F.lit(0))
+        .withColumn("updated_round", F.lit(0)).drop("id")
+    )
+    fmt = BucketedParquetFormat(n_buckets=4)
+    fmt.write_snapshot(front, str(rdir / "frontier"))
+    fmt.commit_round(str(rdir))
+    detected = detect_format(str(ckpt))
+    assert isinstance(detected, BucketedParquetFormat)
+    assert detected.n_buckets == 4
+
+
+def test_detect_format_from_delta_markers(spark, tmp_path):
+    """A checkpoint that crashed before its first round commit still has
+    delta-dir markers; auto-detection must read them instead of silently
+    defaulting (ADVICE r03)."""
+    cl = str(tmp_path / "cl")
+    CommitLogFormat().write_delta(_df(spark, [("a", 1)]), os.path.join(cl, "neg_keys"), 0)
+    assert isinstance(detect_format(cl), CommitLogFormat)
+    pq = str(tmp_path / "pq")
+    ParquetManifestFormat().write_delta(
+        _df(spark, [("a", 1)]), os.path.join(pq, "frontier_deltas"), 0)
+    assert isinstance(detect_format(pq), ParquetManifestFormat)
+
+
+def test_require_format_refuses_unrecognized_nonempty(tmp_path):
+    """Strict resume detection: fresh dir → None; junk-filled dir → error."""
+    fresh = tmp_path / "fresh"
+    fresh.mkdir()
+    assert require_format(str(fresh)) is None
+    assert require_format(str(tmp_path / "absent")) is None
+    junk = tmp_path / "junk"
+    junk.mkdir()
+    (junk / "whatever.txt").write_text("x")
+    with pytest.raises(ValueError, match="no recognizable"):
+        require_format(str(junk))
+
+
+def test_commitlog_version_retention(spark, tmp_path):
+    """Overwrites retain the previous version's files (a concurrent reader
+    holding the just-superseded pointer still reads), and expire_versions
+    is the offline history GC."""
+    fmt = CommitLogFormat()  # default retained_versions=2
+    path = str(tmp_path / "snap")
+    fmt.write_snapshot(_df(spark, [("a", 1)]), path)
+    old_data = fmt._resolve(path)  # a reader resolves the v0 pointer...
+    fmt.write_snapshot(_df(spark, [("b", 2)]), path)
+    # ...then the writer swaps to v1: the reader's resolved files must
+    # still be present and readable (snapshot isolation across one swap)
+    assert os.path.isdir(old_data)
+    assert [tuple(r) for r in spark.read.parquet(old_data).collect()] == [("a", 1)]
+    # current pointer reads the new version
+    assert [tuple(r) for r in fmt.read_snapshot(spark, path).collect()] == [("b", 2)]
+    # a third overwrite pushes v0 out of the retention window (keep 2)
+    fmt.write_snapshot(_df(spark, [("c", 3)]), path)
+    assert not os.path.isdir(old_data)
+    assert len(fmt._version_dirs(path)) == 2
+    # offline expiry trims to the newest version only
+    assert fmt.expire_versions(path, keep=1) == 1
+    assert len(fmt._version_dirs(path)) == 1
+    assert [tuple(r) for r in fmt.read_snapshot(spark, path).collect()] == [("c", 3)]
+
+
+def test_crawl_config_validation(tmp_path):
+    with pytest.raises(ValueError, match="compact_every"):
+        CrawlConfig(checkpoint_dir=str(tmp_path), compact_every=0)
+    with pytest.raises(ValueError, match="host_budget"):
+        CrawlConfig(checkpoint_dir=str(tmp_path), host_budget=0)
+    with pytest.raises(ValueError, match="n_salts"):
+        CrawlConfig(checkpoint_dir=str(tmp_path), n_salts=0)
 
 
 def test_read_all_templates_round_zero_only(spark, tmp_path):
@@ -274,3 +412,16 @@ def test_crawl_identical_across_formats_with_resume(spark, tmp_path):
     tb = {(r["url"], r["stmt_idx"], r["template"], r["round"])
           for r in read_all_templates(spark, cl_cfg).collect()}
     assert ta == tb
+
+    # bucketed format: same kill-after-2 + resume drill — the exchange-free
+    # MERGE-on-read over bucketed snapshots must not leak into semantics
+    bk = str(tmp_path / "bk")
+    _crawl(spark, pages, bk, BucketedParquetFormat(n_buckets=4), max_rounds=2)
+    bk_cfg = _crawl(spark, pages, bk, BucketedParquetFormat(n_buckets=4))
+    assert last_complete_round(bk_cfg) == last_ref
+    c = {(r["url"], r["state"], r["priority"], r["depth"])
+         for r in load_frontier(spark, bk_cfg, last_ref).collect()}
+    assert c == a
+    tc = {(r["url"], r["stmt_idx"], r["template"], r["round"])
+          for r in read_all_templates(spark, bk_cfg).collect()}
+    assert tc == ta
