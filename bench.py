@@ -75,7 +75,7 @@ def main() -> None:
         F.pmod(F.xxhash64("url"), F.lit(8)).cast("int").alias("salt"),
     )
     # heavy relational / training-data operators at the sf dir (set kept
-    # identical to r1/r2 for cross-round comparability)
+    # identical to r1-r3 for cross-round comparability; `value` sums these)
     headline = [
         "s10_export_union_sample",
         "a1_mode_majority_vote",
@@ -87,19 +87,28 @@ def main() -> None:
         "text_quality_score",
         "mm_binary_meta",
     ]
+    # r4 additions (VERDICT r03 item 8): the production-shaped dedup/ANN
+    # entries join the suite; reported in `value_full_suite` alongside the
+    # r1-r3-comparable `value` (see BASELINE.md "bench set versions")
+    headline_v2_extra = [
+        "dedup_lsh_pairs_tuned",
+        "ann_ivf_search",
+        "ann_lsh_bucket_search",
+        "crawl_frontier_mor",
+    ]
 
     def one_pass():
         t = {}
-        t_all = time.monotonic()
         t["template_pipeline"] = _run_thunk(lambda: extract_templates(pages, dedup=True))
         t["politeness_pop"] = _run_thunk(lambda: pop_per_host(frontier_like, budget=2))
-        for name in headline:
+        for name in headline + headline_v2_extra:
             # construct INSIDE the timed region: query builders may
             # materialize eagerly (localCheckpoint'd index/signature
             # tables), and excluding that would silently flatter the
             # per-query number vs earlier rounds
             t[name] = _run_thunk(lambda n=name: harness.QUERIES[n](spark, sf_dir))
-        return t, time.monotonic() - t_all
+        old_set = ["template_pipeline", "politeness_pop"] + headline
+        return t, sum(t[k] for k in old_set), sum(t.values())
 
     # Min-of-N: this VM's CPU steal arrives in multi-second bursts that
     # evade /proc/stat (BASELINE.md), so a single-pass number is a coin
@@ -108,11 +117,13 @@ def main() -> None:
     # (VERDICT r02 item 8 — compare like with like).
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     runs = []
+    runs_full = []
     per_query = []
     for _ in range(n_runs):
-        t, tot = one_pass()
+        t, tot_old, tot_full = one_pass()
         per_query.append(t)
-        runs.append(tot)
+        runs.append(tot_old)
+        runs_full.append(tot_full)
     timings = {k: min(t[k] for t in per_query) for k in per_query[0]}
     total = min(runs)
 
@@ -123,7 +134,9 @@ def main() -> None:
         "value": round(total, 3),
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
+        "value_full_suite": round(min(runs_full), 3),
         "runs_sec": [round(r, 3) for r in runs],
+        "runs_full_sec": [round(r, 3) for r in runs_full],
         "sf": sf,
         "bench_pages": n_pages,
         "pages_per_sec": round(n_pages / timings["template_pipeline"], 2),

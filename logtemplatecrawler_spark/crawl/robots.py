@@ -22,9 +22,32 @@ def robots_prefixes(robots: DataFrame) -> DataFrame:
     )
 
 
-def with_robots_blocked(frontier_like: DataFrame, robots: DataFrame) -> DataFrame:
-    """Add a boolean ``robots_blocked`` column (URLs on unlisted hosts pass)."""
+# One row per host after the prefix roll-up; broadcasting beyond this many
+# hosts risks the driver/executor broadcast memory cap (Spark hard-fails at
+# 8 GB broadcast), so bigger tables take a shuffle join instead.
+MAX_BROADCAST_HOSTS = 5_000_000
+
+
+def with_robots_blocked(frontier_like: DataFrame, robots: DataFrame,
+                        broadcast: bool = None) -> DataFrame:
+    """Add a boolean ``robots_blocked`` column (URLs on unlisted hosts pass).
+
+    ``broadcast`` picks the join strategy for the per-host prefix table:
+    True → broadcast hash join (the frontier side never shuffles — the
+    common case, robots tables are tiny vs the frontier); False → plain
+    shuffle join for host lists too big to broadcast (VERDICT r03 item 5:
+    at 10^8 listed hosts an unconditional broadcast exceeds Spark's
+    broadcast limits; AQE's skew-join handling covers the mega-host key).
+    None (default) → auto: ONE tiny count job on the rolled-up prefix
+    table decides.  The round loop counts once per crawl and passes the
+    decision explicitly (a per-round count would be a wasted job).
+    Both paths produce identical results
+    (tests/test_scale_plans.py::test_robots_gate_shuffle_fallback).
+    """
     prefixes = robots_prefixes(robots)
+    if broadcast is None:
+        broadcast = prefixes.count() <= MAX_BROADCAST_HOSTS
+    joined = F.broadcast(prefixes) if broadcast else prefixes
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     blocked = F.when(
         F.col("disallow_prefixes").isNull(), F.lit(False)
@@ -32,7 +55,7 @@ def with_robots_blocked(frontier_like: DataFrame, robots: DataFrame) -> DataFram
         F.exists("disallow_prefixes", lambda p: path.startswith(p))
     )
     return (
-        frontier_like.join(F.broadcast(prefixes), "host", "left")
+        frontier_like.join(joined, "host", "left")
         .withColumn("robots_blocked", blocked)
         .drop("disallow_prefixes")
     )

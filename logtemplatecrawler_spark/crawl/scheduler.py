@@ -61,7 +61,11 @@ from pyspark.sql import functions as F
 
 from logtemplatecrawler_spark.crawl import frontier as FR
 from logtemplatecrawler_spark.crawl.politeness import pop_per_host
-from logtemplatecrawler_spark.crawl.robots import with_robots_blocked
+from logtemplatecrawler_spark.crawl.robots import (
+    MAX_BROADCAST_HOSTS,
+    robots_prefixes,
+    with_robots_blocked,
+)
 from logtemplatecrawler_spark.crawl.seen import BroadcastBloom, build_bloom, filter_unseen
 from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
 from logtemplatecrawler_spark.sources.table_format import ParquetManifestFormat
@@ -482,6 +486,11 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         "warc_ts", "html", "text", "lang",
     )
 
+    # Robots join strategy: ONE count of the rolled-up per-host prefix
+    # table decides broadcast vs shuffle for the whole crawl (the robots
+    # table is a crawl-static input — recounting per round is a wasted job).
+    robots_bcast = robots_prefixes(robots).count() <= MAX_BROADCAST_HOSTS
+
     metrics_log: List[Dict] = []
     for rnd in range(next_round, cfg.max_rounds):
         t0 = time.monotonic()
@@ -502,7 +511,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             frontier = frontier.unionByName(page)
         pending = frontier.where(F.col("state") == FR.STATE_PENDING)
 
-        gated = with_robots_blocked(pending, robots)
+        gated = with_robots_blocked(pending, robots, broadcast=robots_bcast)
         blocked = gated.where(F.col("robots_blocked")).select("url")
         eligible = gated.where(~F.col("robots_blocked")).drop("robots_blocked")
 

@@ -46,6 +46,34 @@ def detect_hit(text: Column, lang: Column) -> Column:
     )
 
 
+def detect_vote(text: Column, lang: Column) -> Column:
+    """The detector's rule-vote MODE (U1/U4): the framework indicator the
+    fired rules vote for, ``max(values, key=values.count)`` semantics —
+    first-fired indicator among those with the max hit count
+    (logdetector/java.py:28,34; pure twin core/detect.detect_page's second
+    return).  NULL when no rule fires, and for python/csharp (their engines
+    return no vote — detector.py:13-16, csharp stub).
+
+    Native encoding: per indicator, ``key = hit_count * 8 + (7 -
+    first_fired_rule_index)``; keys of fired indicators are distinct
+    (counts ≤ 2, rule indices unique), so the argmax is exact — no UDF.
+    """
+    r = [text.rlike(p) for p in _JAVA_RULES]
+    b = [x.cast("int") for x in r]
+    key_l = (b[0] + b[3]) * 8 + F.when(r[0], 6).when(r[3], 3).otherwise(0)
+    key_u = (b[1] + b[4]) * 8 + F.when(r[1], 5).when(r[4], 2).otherwise(0)
+    key_s = (b[2] + b[5]) * 8 + F.when(r[2], 4).when(r[5], 1).otherwise(0)
+    any_hit = reduce(or_, r)
+    best = (
+        F.when((key_l >= key_u) & (key_l >= key_s), F.lit("log4j"))
+        .when(key_u >= key_s, F.lit("utillogger"))
+        .otherwise(F.lit("slf4j"))
+    )
+    return F.when(lang.isin("java", "c") & any_hit, best).otherwise(
+        F.lit(None).cast("string")
+    )
+
+
 def framework(text: Column, lang: Column) -> Column:
     """Import-rule framework vote with 'unknown' fallback (U4).
 

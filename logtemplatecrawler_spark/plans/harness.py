@@ -1316,6 +1316,85 @@ def text_token_count_regex(spark, sf_dir):
 # Flagship: the full crawl/template pipeline (U1-U12, F6-F10, W3 end-to-end)
 # ---------------------------------------------------------------------------
 
+@_q("u1_u4_framework_vote", sql="""
+    WITH pages AS (
+      SELECT doc_id,
+             CAST(doc_id % 4 AS BIGINT) AS variant,
+             CASE doc_id % 4
+               WHEN 0 THEN 'import org.slf4j.Logger;' || chr(10)
+                           || 'log.info("started ok", count);'
+               WHEN 1 THEN 'import java.util.logging.Logger;' || chr(10)
+                           || 'log.severe("boot failed");'
+               WHEN 2 THEN 'handler.info("retry scheduled");'
+               ELSE 'static page body'
+             END || chr(10) || substr(text, 1, 80) AS page
+      FROM documents
+    ), bits AS (
+      SELECT doc_id, variant, page,
+        CAST(regexp_matches(page, 'import.+log4j') AS INT) AS r1,
+        CAST(regexp_matches(page, 'import.+util\\.logging') AS INT) AS r2,
+        CAST(regexp_matches(page, 'import.+slf4j') AS INT) AS r3,
+        CAST(regexp_matches(page, '\\.(debug|info|warn|error|fatal)') AS INT) AS r4,
+        CAST(regexp_matches(page,
+             '\\.severe|warning|info|config|fine|finer|finest|log') AS INT) AS r5,
+        CAST(regexp_matches(page, '\\.(debug|info|warn|error|fatal)') AS INT) AS r6
+      FROM pages
+    ), keyed AS (
+      SELECT doc_id, variant,
+        (r1 + r2 + r3 + r4 + r5 + r6) > 0 AS hit,
+        (r1+r4)*8 + CASE WHEN r1=1 THEN 6 WHEN r4=1 THEN 3 ELSE 0 END AS kl,
+        (r2+r5)*8 + CASE WHEN r2=1 THEN 5 WHEN r5=1 THEN 2 ELSE 0 END AS ku,
+        (r3+r6)*8 + CASE WHEN r3=1 THEN 4 WHEN r6=1 THEN 1 ELSE 0 END AS ks,
+        CASE WHEN r1=1 THEN 'log4j' WHEN r2=1 THEN 'utillogger'
+             WHEN r3=1 THEN 'slf4j' ELSE 'unknown' END AS framework
+      FROM bits
+    )
+    SELECT doc_id, variant, hit,
+      CASE WHEN NOT hit THEN NULL
+           WHEN kl >= ku AND kl >= ks THEN 'log4j'
+           WHEN ku >= ks THEN 'utillogger'
+           ELSE 'slf4j' END AS vote,
+      framework
+    FROM keyed
+""")
+def u1_u4_framework_vote(spark, sf_dir):
+    """U1/U4 driver check: the detector's rule-vote MODE (A1-style
+    first-max count over fired indicators, logdetector/java.py:28,34) and
+    the import-rule framework, both as native column expressions
+    (functions/columns.py::detect_vote/framework), over four page variants
+    derived from ``documents`` — slf4j-import, util.logging-import,
+    statement-rules-only (a genuine count TIE resolved by first-fired
+    order), and no-markers.  The document text itself participates in the
+    unanchored rules (bare 'log'/'info'/'warning' substrings fire r5 —
+    reference quirk), so the oracle recomputes every rule over the same
+    constructed text rather than assuming per-variant outcomes; the pure
+    twin (core/detect.detect_page) parity is pinned by
+    tests/test_spark_pipeline.py::test_detect_vote_matches_core."""
+    from logtemplatecrawler_spark.functions.columns import (
+        detect_hit, detect_vote, framework,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    header = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.lit('import org.slf4j.Logger;\nlog.info("started ok", count);'))
+        .when(F.col("doc_id") % 4 == 1,
+              F.lit('import java.util.logging.Logger;\nlog.severe("boot failed");'))
+        .when(F.col("doc_id") % 4 == 2,
+              F.lit('handler.info("retry scheduled");'))
+        .otherwise(F.lit("static page body"))
+    )
+    page = F.concat(header, F.lit("\n"), F.substring("text", 1, 80))
+    lang = F.lit("java")
+    return docs.select(
+        "doc_id",
+        (F.col("doc_id") % 4).cast("bigint").alias("variant"),
+        detect_hit(page, lang).alias("hit"),
+        detect_vote(page, lang).alias("vote"),
+        framework(page, lang).alias("framework"),
+    )
+
+
 @_q("crawl_frontier_mor", sql="""
     WITH ev AS (
       SELECT event_id, user_id FROM events

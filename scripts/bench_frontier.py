@@ -13,7 +13,12 @@ point, ~1.2 GB at the design row width):
                  chunk collect → explicit broadcast);
   3. ``seen``  — URL-seen filter of M candidates (50% already in the
                  frontier, 50% genuinely new): bloom prune + exact
-                 string anti-join decider.
+                 string anti-join decider;
+  4. ``mor``   — checkpoint reconstruction: MERGE-on-read of a bucketed
+                 base snapshot with 1% delta rows spread over 4 rounds
+                 (crawl/scheduler.merge_on_read — the per-round
+                 load_frontier path), vs the r3 union+window formulation
+                 over plain parquet for the before/after ratio.
 
 The frontier is generated IN SPARK (deterministic), written to parquet
 off the clock, and read back — so the timed ops include the scan, like the
@@ -123,6 +128,44 @@ def main() -> None:
         bcast.unpersist()
         assert n_new == args.cands // 2, (n_new, args.cands)
 
+        # ---- MERGE-on-read reconstruction ---------------------------------
+        from logtemplatecrawler_spark.crawl.scheduler import merge_on_read
+        from logtemplatecrawler_spark.sources.table_format import (
+            BucketedParquetFormat,
+        )
+
+        # generation, off the clock: bucketed snapshot + 1%-of-rows deltas
+        # spread over rounds 1..4 (compact_every-shaped delta horizon)
+        fmt = BucketedParquetFormat(n_buckets=args.cores * 2)
+        snap_path = os.path.join(work, "snap")
+        fmt.write_snapshot(frontier.withColumn("updated_round", F.lit(0)),
+                           snap_path)
+        deltas_path = os.path.join(work, "deltas")
+        (frontier.where(F.pmod(F.xxhash64("url"), F.lit(100)) == 0)
+         .withColumn("state", F.lit("done"))
+         .withColumn("updated_round",
+                     (F.pmod(F.xxhash64("url"), F.lit(4)) + 1).cast("int"))
+         .write.mode("overwrite").parquet(deltas_path))
+        base_bucketed = fmt.read_snapshot(spark, snap_path)
+        base_plain = spark.read.parquet(snap_path)
+        deltas = spark.read.parquet(deltas_path)
+
+        t0 = time.monotonic()
+        merge_on_read(base_bucketed, deltas).write.format("noop").mode(
+            "overwrite").save()
+        t_mor = time.monotonic() - t0
+
+        # the r3 formulation: full-frontier window over base ∪ deltas
+        from pyspark.sql import Window
+
+        t0 = time.monotonic()
+        w = Window.partitionBy("url").orderBy(F.col("updated_round").desc())
+        (base_plain.unionByName(deltas)
+         .withColumn("_rn", F.row_number().over(w))
+         .where(F.col("_rn") == 1).drop("_rn")
+         .write.format("noop").mode("overwrite").save())
+        t_mor_window = time.monotonic() - t0
+
         total = t_pop + t_bloom + t_seen
         result = {
             "job": "frontier_round_ops",
@@ -132,10 +175,14 @@ def main() -> None:
             "budget": args.budget,
             "mega_host_rows": args.rows // 10,
             "sec": {"pop": round(t_pop, 3), "bloom_build": round(t_bloom, 3),
-                    "seen_filter": round(t_seen, 3), "total": round(total, 3)},
+                    "seen_filter": round(t_seen, 3), "total": round(total, 3),
+                    "mor_bucketed": round(t_mor, 3),
+                    "mor_window_r3": round(t_mor_window, 3)},
             "frontier_urls_per_sec": round(args.rows / total, 1),
             "pop_urls_per_sec": round(args.rows / t_pop, 1),
             "seen_cand_urls_per_sec": round(args.cands / t_seen, 1),
+            "mor_rows_per_sec": round(args.rows / t_mor, 1),
+            "mor_speedup_vs_window": round(t_mor_window / t_mor, 2),
             "bloom_bits": bloom.mask + 1,
         }
         print(json.dumps(result))

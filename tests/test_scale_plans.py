@@ -100,6 +100,32 @@ def test_politeness_pop_uses_window_group_limit(spark):
     assert plan.count("WindowGroupLimit") >= 2, plan
 
 
+def test_robots_gate_shuffle_fallback(spark):
+    """VERDICT r03 item 5: host lists too big to broadcast take a shuffle
+    join; the fallback must plan without a broadcast AND produce identical
+    results to the broadcast path."""
+    frontier = with_frontier_keys(
+        spark.range(1000).select(
+            F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                     F.lit(".example.org/p/"), "id").alias("url")
+        )
+    )
+    robots = spark.createDataFrame(
+        [("h1.example.org", "/private"), ("h2.example.org", "/"),
+         ("h3.example.org", "/p")],
+        "host string, disallow_prefix string",
+    )
+    shuffled = with_robots_blocked(frontier, robots, broadcast=False)
+    plan = _explain(shuffled, "simple")
+    assert "BroadcastHashJoin" not in plan, plan
+    assert "SortMergeJoin" in plan or "ShuffledHashJoin" in plan, plan
+    got = {(r["url"], r["robots_blocked"]) for r in shuffled.collect()}
+    want = {(r["url"], r["robots_blocked"])
+            for r in with_robots_blocked(frontier, robots, broadcast=True).collect()}
+    assert got == want
+    assert any(b for _, b in got)  # the gate actually blocks something
+
+
 def test_seed_rank_has_no_single_partition_stage(spark):
     """VERDICT r03 item 2: the seed-ranking cursor must not funnel the whole
     seed list through one task — no global Window, no SinglePartition

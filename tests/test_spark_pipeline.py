@@ -87,6 +87,46 @@ def test_plan_shape_is_scalable(spark):
         assert "ArrowEvalPython" in plan
 
 
+def test_detect_vote_matches_core(spark, fixture_pages):
+    """Native ``detect_vote`` (U1/U4 rule-vote mode, no UDF) ≡ the pure
+    twin ``core.detect.detect_page``'s vote over every fixture page plus
+    hand-built vote-contested texts (tie → first-fired wins)."""
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.core.detect import detect_page
+    from logtemplatecrawler_spark.functions.columns import detect_vote
+
+    extra = [
+        # count tie log4j/utillogger/slf4j=1 → first-fired (log4j) wins
+        {"url": "u://tie", "text": 'x.info("m");', "lang": "java"},
+        # utillogger wins 2 votes to 1 and 1
+        {"url": "u://util",
+         "text": 'import java.util.logging.L;\nlog.severe("m");\na.info("x");',
+         "lang": "java"},
+        {"url": "u://slf",
+         "text": 'import org.slf4j.Logger;\nlog.warn("m");', "lang": "java"},
+        {"url": "u://none", "text": "no markers here", "lang": "java"},
+        {"url": "u://py", "text": "import logging\nx.log('m')", "lang": "python"},
+        {"url": "u://cs", "text": 'Log.Info("m");', "lang": "csharp"},
+    ]
+    rows = [{"url": p["url"], "text": p["text"], "lang": p["lang"]}
+            for p in fixture_pages] + extra
+    df = spark.createDataFrame(rows, "url string, text string, lang string")
+    got = {
+        r["url"]: r["vote"]
+        for r in df.select(
+            "url", detect_vote(F.col("text"), F.col("lang")).alias("vote")
+        ).collect()
+    }
+    want = {r["url"]: detect_page(r["text"], r["lang"])[1] for r in rows}
+    assert got == want
+    assert want["u://tie"] == "log4j"
+    assert want["u://util"] == "utillogger"
+    assert want["u://slf"] == "slf4j"
+    assert want["u://none"] is None and want["u://py"] is None
+    assert want["u://cs"] is None
+
+
 def test_flagship_hard_paths(spark):
     """The flagship's derived pages drive the parser's hard paths — a
     +-concat chain, a nested String.format (%d rewrite), and a C printf

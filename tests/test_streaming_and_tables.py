@@ -158,8 +158,58 @@ def test_windowed_updates_sink_retry_idempotent(spark, tmp_path):
     assert base == want and len(base) > 5
 
     # simulate the retry: replay the last micro-batch's emissions verbatim
+    # (a real retry re-runs the same partitioned sink write)
     raw = spark.read.parquet(out)
     last = raw.agg(F.max("batch_id")).collect()[0][0]
-    raw.where(F.col("batch_id") == last).write.mode("append").parquet(out)
+    raw.where(F.col("batch_id") == last).write.mode("append") \
+        .partitionBy("win_date").parquet(out)
     again = {tuple(r) for r in read_windowed_updates(spark, out).collect()}
     assert again == base  # no double counting
+
+
+def test_windowed_updates_pruned_read(spark, tmp_path):
+    """VERDICT r03 item 4: the update sink is partitioned by ``win_date``
+    and a bounded read with ``min_win_start`` must (a) equal the batch twin
+    filtered to the same horizon and (b) not even SCAN closed windows'
+    files — asserted on inputFiles()."""
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.sources.fixtures import PAGES_DDL
+    from logtemplatecrawler_spark.streaming.windowed_metrics import (
+        drain_windowed_updates, read_windowed_updates, windowed_host_metrics,
+    )
+
+    pages_dir = str(tmp_path / "pages")
+    write_pages_parquet(pages_dir, 200, seed=42, n_files=5)
+    out = str(tmp_path / "updates")
+    drain_windowed_updates(spark, pages_dir, PAGES_DDL, str(tmp_path / "ckpt"), out)
+
+    batch = windowed_host_metrics(spark.read.parquet(pages_dir))
+    starts = sorted(
+        r["win_start"] for r in batch.select("win_start").distinct().collect()
+    )
+    assert len(starts) >= 3, starts
+    cutoff = starts[len(starts) // 2]
+
+    pruned = read_windowed_updates(spark, out, min_win_start=cutoff)
+    want = {
+        tuple(r) for r in batch.where(F.col("win_start") >= F.lit(cutoff)).collect()
+    }
+    assert {tuple(r) for r in pruned.collect()} == want
+    # files of closed windows (win_date below the cutoff) are pruned from
+    # the actual scan: input_file_name() reflects post-pruning reads
+    # (inputFiles() would report the relation's full pre-pruning listing)
+    cut_str = cutoff.strftime("%Y-%m-%d-%H")
+    from logtemplatecrawler_spark.streaming.windowed_metrics import _scan_updates
+
+    def scanned(df):
+        return {r[0] for r in df.select(F.input_file_name()).distinct().collect()}
+
+    files = scanned(_scan_updates(spark, out, min_win_start=cutoff))
+    assert files, "pruned read scanned no files at all?"
+    for f in files:
+        assert "win_date=" in f, f
+        wd = f.split("win_date=")[1].split("/")[0]
+        assert wd >= cut_str, (wd, cut_str)
+    # the unbounded scan reads strictly more files
+    assert len(scanned(_scan_updates(spark, out))) > len(files)
