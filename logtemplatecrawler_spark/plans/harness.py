@@ -1316,6 +1316,43 @@ def text_token_count_regex(spark, sf_dir):
 # Flagship: the full crawl/template pipeline (U1-U12, F6-F10, W3 end-to-end)
 # ---------------------------------------------------------------------------
 
+@_q("s1_seed_rank_paged", sql="""
+    WITH seeds AS (
+      SELECT 'https://h' || CAST(user_id % 40 AS VARCHAR)
+             || '.example.org/s/' || CAST(event_id AS VARCHAR) AS url,
+             CAST(user_id % 7 AS INTEGER) AS priority
+      FROM events
+    ), ranked AS (
+      SELECT url, priority,
+             row_number() OVER (ORDER BY priority DESC, url ASC) AS seed_rank
+      FROM seeds
+    )
+    SELECT url, priority, seed_rank FROM ranked WHERE seed_rank <= 200
+""")
+def s1_seed_rank_paged(spark, sf_dir):
+    """S1/S9 driver check of the DISTRIBUTED seed-ranking cursor
+    (crawl/scheduler.py::with_seed_rank, VERDICT r03 item 2): the
+    two-phase range-partitioned rank must equal DuckDB's global
+    ``row_number() OVER (ORDER BY priority DESC, url)`` — the first
+    admission page (rank ≤ 200) is the hashed surface, exactly the
+    paged-search cursor semantics of the reference
+    (airflow/plugins/operators.py:64-94).  Heavy priority ties (7 distinct
+    values over the seed list) force every range boundary into a tie run."""
+    from logtemplatecrawler_spark.crawl.scheduler import with_seed_rank
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    seeds = ev.select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 40).cast("string"),
+                 F.lit(".example.org/s/"), F.col("event_id").cast("string")
+                 ).alias("url"),
+        (F.col("user_id") % 7).cast("int").alias("priority"),
+    )
+    ranked, _total, _cache = with_seed_rank(spark, seeds)
+    return ranked.where(F.col("_seed_rank") <= 200).select(
+        "url", "priority", F.col("_seed_rank").cast("bigint").alias("seed_rank")
+    )
+
+
 @_q("u1_u4_framework_vote", sql="""
     WITH pages AS (
       SELECT doc_id,
