@@ -66,7 +66,13 @@ from logtemplatecrawler_spark.crawl.robots import (
     robots_prefixes,
     with_robots_blocked,
 )
-from logtemplatecrawler_spark.crawl.seen import BroadcastBloom, build_bloom, filter_unseen
+from logtemplatecrawler_spark.crawl.seen import (
+    BroadcastBloom,
+    add_to_bloom,
+    bloom_capacity_exceeded,
+    build_bloom,
+    filter_unseen,
+)
 from logtemplatecrawler_spark.plans.template_pipeline import extract_templates
 from logtemplatecrawler_spark.sources.table_format import ParquetManifestFormat
 
@@ -492,6 +498,17 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     robots_bcast = robots_prefixes(robots).count() <= MAX_BROADCAST_HOSTS
 
     metrics_log: List[Dict] = []
+    # Incremental URL-seen bloom (r4): the driver keeps the bit array
+    # across rounds and ORs in only the urls that ENTERED the frontier
+    # since the last update — a full rebuild (scan + 4×-explode + shuffle
+    # of the WHOLE frontier, ruinous at 10^10 rows) happens only at crawl
+    # start and when the frontier outgrows the array's sizing (amortized
+    # O(log n) rebuilds — the scalable-bloom policy).  `bloom_covered` is
+    # the round whose admissions the array already includes; re-adding an
+    # overlap is a no-op (bloom insert = idempotent OR).
+    bloom_state = None
+    bloom_covered = -1
+    frontier_size_est: Optional[int] = None
     for rnd in range(next_round, cfg.max_rounds):
         t0 = time.monotonic()
         seed_cursor = (rnd + 1) * cfg.seeds_per_round if cfg.seeds_per_round else None
@@ -558,10 +575,24 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         bloom = None
         if cfg.discover_links:
             candidates = discover_outlinks(good)
-            bloom = (
-                build_bloom(frontier, min_keys=cfg.bloom_min_keys)
-                if cfg.use_bloom else None
-            )
+            if cfg.use_bloom:
+                if bloom_state is not None and frontier_size_est is not None \
+                        and bloom_capacity_exceeded(bloom_state, frontier_size_est):
+                    bloom_state = None  # outgrown — full rebuild below
+                if bloom_state is None:
+                    bloom_state = build_bloom(frontier, min_keys=cfg.bloom_min_keys)
+                else:
+                    # O(|new urls|) incremental add: every url that entered
+                    # the frontier in rounds ≥ bloom_covered (this round's
+                    # seed page + the previous rounds' discoveries; the
+                    # overlap at == bloom_covered is an idempotent re-add)
+                    bloom_state = add_to_bloom(
+                        bloom_state,
+                        frontier.where(F.col("round_added") >= bloom_covered)
+                        .select("url_hash"),
+                    )
+                bloom_covered = rnd
+            bloom = bloom_state
             if bloom is not None:
                 # Explicit broadcast: ship the bits once per executor (not
                 # per task closure) and release them after the round's only
@@ -666,6 +697,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             if r["added_now"] and r["state"] == FR.STATE_PENDING:
                 # discovery admissions (+ this round's seed page, if paging)
                 n_new += r["count"]
+        # feeds next round's bloom resize check (scalable-bloom policy)
+        frontier_size_est = sum(state_counts.values())
         elapsed = time.monotonic() - t0
         metrics = {
             "round": rnd,

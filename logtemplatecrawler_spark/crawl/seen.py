@@ -97,32 +97,12 @@ _CHUNK_WORDS = 8192
 _CHUNK_SHIFT = 13
 
 
-def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
-                max_bits: int = 1 << 33,
-                min_keys: int = 0) -> Optional[HashBloom]:
-    """Distributed bloom build over the frontier's ``url_hash`` column.
-
-    Probe positions are computed with native column arithmetic (the exact
-    integer twin of :meth:`HashBloom._probes`), packed into 64-bit words
-    with one ``groupBy(word_idx).bit_or`` shuffle, then aggregated into
-    fixed 64 KiB binary chunks (``applyInPandas`` per 8192-word group) so
-    the driver collects ≤ size/2^19 binary rows — the collect volume is the
-    bit-array size itself plus negligible row overhead, so the ``max_bits``
-    cap is the real driver-memory bound (2^33 bits = 1 GiB collected ≈ 700M
-    keys; VERDICT r02 item 3).  Returns None above ``max_bits`` or below
-    ``min_keys`` (the build is two Spark jobs; under ~10^4 keys the plain
-    anti-join is cheaper than building the prune) — callers then rely on
-    the exact anti-join alone, which stays the decider either way.
-    """
-    n_keys = frontier.count()
-    if n_keys < min_keys:
-        return None
-    size = _bloom_size(n_keys, bits_per_key)
-    if size > max_bits:
-        return None
-    mask = size - 1
-    n_words = size // 64
-
+def _collect_bit_chunks(keys: DataFrame, mask: int, n_words: int):
+    """Distributed probe-bit computation for ``keys.url_hash`` → collected
+    64 KiB binary chunk rows (the shared core of the full build and the
+    incremental add).  Probe positions are native column arithmetic (the
+    exact integer twin of :meth:`HashBloom._probes`), reduced with one
+    ``groupBy(word_idx).bit_or`` shuffle, packed per 8192-word group."""
     h = F.col("url_hash")
     h1 = h.bitwiseAND(F.lit(_MASK32))
     h2 = F.shiftrightunsigned(h, 32).bitwiseOR(F.lit(1))
@@ -130,7 +110,7 @@ def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
         (h1 + F.lit(i) * h2).bitwiseAND(F.lit(mask)) for i in range(_N_PROBES)
     ])
     words = (
-        frontier.select(F.explode(probes).alias("p"))
+        keys.select(F.explode(probes).alias("p"))
         .select(
             F.shiftright("p", 6).alias("word_idx"),
             F.expr("shiftleft(1L, cast(p & 63 AS INT))").alias("w"),
@@ -151,18 +131,78 @@ def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
         # (bit k of the array is byte k>>3, bit k&7).
         return pd.DataFrame({"chunk": [chunk], "data": [part.astype("<i8").tobytes()]})
 
-    chunks = (
+    return (
         words.withColumn("chunk", F.shiftright("word_idx", _CHUNK_SHIFT))
         .groupBy("chunk")
         .applyInPandas(_pack, "chunk long, data binary")
         .collect()
     )
+
+
+def build_bloom(frontier: DataFrame, bits_per_key: int = 12,
+                max_bits: int = 1 << 33,
+                min_keys: int = 0) -> Optional[HashBloom]:
+    """Distributed bloom build over the frontier's ``url_hash`` column.
+
+    Probe positions are computed with native column arithmetic, reduced
+    with one ``groupBy(word_idx).bit_or`` shuffle, then aggregated into
+    fixed 64 KiB binary chunks (``applyInPandas`` per 8192-word group) so
+    the driver collects ≤ size/2^19 binary rows — the collect volume is the
+    bit-array size itself plus negligible row overhead, so the ``max_bits``
+    cap is the real driver-memory bound (2^33 bits = 1 GiB collected ≈ 700M
+    keys; VERDICT r02 item 3).  Returns None above ``max_bits`` or below
+    ``min_keys`` (the build is two Spark jobs; under ~10^4 keys the plain
+    anti-join is cheaper than building the prune) — callers then rely on
+    the exact anti-join alone, which stays the decider either way.
+    """
+    n_keys = frontier.count()
+    if n_keys < min_keys:
+        return None
+    size = _bloom_size(n_keys, bits_per_key)
+    if size > max_bits:
+        return None
+    mask = size - 1
+    n_words = size // 64
     arr = np.zeros(n_words, dtype="<i8")
-    for r in chunks:
+    for r in _collect_bit_chunks(frontier, mask, n_words):
         base = r["chunk"] * _CHUNK_WORDS
         part = np.frombuffer(r["data"], dtype="<i8")
         arr[base:base + len(part)] = part
     return HashBloom.from_bits(arr.tobytes(), mask)
+
+
+def add_to_bloom(bloom: HashBloom, new_keys: DataFrame) -> HashBloom:
+    """Incremental bloom maintenance (r4): OR the probe bits of
+    ``new_keys.url_hash`` into an existing bloom's (driver-held) array —
+    cost O(|new rows|), never O(|frontier|).
+
+    Why: rebuilding the bloom from the FULL frontier every round is a
+    full scan + 4×-explode + shuffle over 10^10 rows at the design point,
+    while the set of urls that ENTERED the frontier since the last build
+    is O(seed page + discoveries) per round.  Bloom bit arrays are
+    monotone (insert = OR), so adds commute with the full build — the
+    result is bit-identical to rebuilding over the union at the same
+    size, pinned by tests/test_operators.py::test_bloom_incremental_add.
+    Capacity is FIXED at build time; the caller watches the frontier size
+    and triggers a full rebuild when ``_bloom_size(n) > mask+1`` (the
+    scalable-bloom resize policy, amortized O(log n) rebuilds per crawl).
+    Over-adding (keys already present) is a no-op by idempotence of OR.
+    """
+    mask = bloom.mask
+    n_words = (mask + 1) // 64
+    arr = np.frombuffer(bloom.bits, dtype="<i8").copy()
+    for r in _collect_bit_chunks(new_keys, mask, n_words):
+        base = r["chunk"] * _CHUNK_WORDS
+        part = np.frombuffer(r["data"], dtype="<i8")
+        arr[base:base + len(part)] |= part
+    return HashBloom.from_bits(arr.tobytes(), mask)
+
+
+def bloom_capacity_exceeded(bloom: HashBloom, n_keys: int,
+                            bits_per_key: int = 12) -> bool:
+    """True when ``n_keys`` needs a bigger array than ``bloom`` has — the
+    caller should full-rebuild (FP rate degrades past the sizing target)."""
+    return _bloom_size(n_keys, bits_per_key) > bloom.mask + 1
 
 
 class BroadcastBloom:

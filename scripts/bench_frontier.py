@@ -118,6 +118,17 @@ def main() -> None:
         bcast = BroadcastBloom(spark.sparkContext, bloom)
         t_bloom = time.monotonic() - t0
 
+        # incremental maintenance (r4): per-round cost of ORing one
+        # round's worth of new urls into the existing array — the loop's
+        # steady-state path (the full build above happens once per
+        # capacity doubling, not per round)
+        from logtemplatecrawler_spark.crawl.seen import add_to_bloom
+
+        t0 = time.monotonic()
+        bloom_inc = add_to_bloom(bloom, cands.select("url_hash"))
+        t_bloom_add = time.monotonic() - t0
+        assert bloom_inc.mask == bloom.mask
+
         t0 = time.monotonic()
         filter_unseen(cands, frontier, bloom=bcast).write.format("noop").mode(
             "overwrite").save()
@@ -175,6 +186,7 @@ def main() -> None:
             "budget": args.budget,
             "mega_host_rows": args.rows // 10,
             "sec": {"pop": round(t_pop, 3), "bloom_build": round(t_bloom, 3),
+                    "bloom_incremental_add": round(t_bloom_add, 3),
                     "seen_filter": round(t_seen, 3), "total": round(total, 3),
                     "mor_bucketed": round(t_mor, 3),
                     "mor_window_r3": round(t_mor_window, 3)},

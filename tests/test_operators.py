@@ -122,6 +122,39 @@ def test_distributed_bloom_bit_identical(spark):
     assert dist.bits == spec.bits
 
 
+def test_bloom_incremental_add(spark):
+    """add_to_bloom (r4 incremental maintenance) ORs new keys' probe bits
+    into an existing array and must be BIT-IDENTICAL to a full rebuild
+    over the union at the same size; capacity detection triggers the
+    full-rebuild path exactly when the sizing grows."""
+    from logtemplatecrawler_spark.crawl.seen import (
+        add_to_bloom, bloom_capacity_exceeded, build_bloom, _bloom_size,
+    )
+
+    def front(lo, hi):
+        return with_frontier_keys(spark.createDataFrame(
+            [(f"https://h{i % 7}.org/p/{i}",) for i in range(lo, hi)],
+            "url string",
+        ))
+
+    # 3000 and 3500 keys share the same power-of-two sizing — the add must
+    # commute with the build
+    assert _bloom_size(3000) == _bloom_size(3500)
+    base = build_bloom(front(0, 3000))
+    grown = add_to_bloom(base, front(3000, 3500).select("url_hash"))
+    full = build_bloom(front(0, 3500))
+    assert grown.mask == full.mask
+    assert grown.bits == full.bits
+    # idempotence: re-adding already-present keys changes nothing
+    again = add_to_bloom(grown, front(1000, 3500).select("url_hash"))
+    assert again.bits == grown.bits
+    # the original array is untouched (copy-on-add)
+    assert base.bits != grown.bits
+    # resize policy: same sizing → keep; bigger sizing → rebuild
+    assert not bloom_capacity_exceeded(base, 3500)
+    assert bloom_capacity_exceeded(base, 3 * _bloom_size(3000) // 12)
+
+
 def test_distributed_bloom_multichunk_and_row_bound(spark):
     """A bloom large enough to span several 8192-word chunks stays
     bit-identical to the spec, and the driver-collect row count is bounded
