@@ -1316,6 +1316,109 @@ def text_token_count_regex(spark, sf_dir):
 # Flagship: the full crawl/template pipeline (U1-U12, F6-F10, W3 end-to-end)
 # ---------------------------------------------------------------------------
 
+@_q("dedup_cluster_canonical", sql="""
+    WITH RECURSIVE words AS (
+      SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS w
+      FROM documents WHERE doc_id < 200
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM words GROUP BY doc_id
+    ), raw_pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS inter
+      FROM words a JOIN words b ON a.w = b.w AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    ), pairs AS (
+      SELECT doc_a, doc_b FROM raw_pairs
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE inter * 1.0 / (sa.n + sb.n - inter) >= 0.8
+    ), nodes AS (
+      SELECT DISTINCT doc_id FROM documents WHERE doc_id < 200
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM pairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM pairs
+    ), reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id,
+           (src = min(dst)) AS is_canonical
+    FROM reach GROUP BY src
+""")
+def dedup_cluster_canonical(spark, sf_dir):
+    """Near-dup CLUSTERING — the step after pair generation in a real
+    training-data dedup pipeline: connected components over the
+    similarity-pair graph, labeled by the component's min doc_id, with the
+    canonical (kept) document flagged.
+
+    Spark side: iterative hash-min label propagation (each round, a node's
+    label becomes the min of its own and its neighbors' labels; join +
+    groupBy-min per round, ``localCheckpoint`` to cut lineage, loop until a
+    fixpoint — iterations = component diameter, small for near-dup
+    clusters).  This is the GraphX-style connected-components shape
+    expressed in plain DataFrame ops; at 100 TB the edge list comes from
+    the tuned-LSH pair generator (`dedup_lsh_pairs_tuned`) instead of the
+    bounded-slice exact Jaccard used here for oracle exactness, and each
+    iteration is one shuffle of the (nodes ∪ edges) tables.  DuckDB oracle:
+    the same components via a recursive-CTE transitive closure (exact on
+    the doc_id<200 slice)."""
+    docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
+    words = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("w")
+    ).distinct()
+    sizes = words.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = words.alias("a"), words.alias("b")
+    raw_pairs = (
+        a.join(b, (F.col("a.w") == F.col("b.w"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("inter"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    jac = F.col("inter") / (F.col("sa.n") + F.col("sb.n") - F.col("inter"))
+    pairs = (
+        raw_pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(jac >= 0.8)
+        .select("doc_a", "doc_b")
+    )
+    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")) \
+        .unionByName(pairs.select(F.col("doc_b").alias("a"),
+                                  F.col("doc_a").alias("b"))) \
+        .localCheckpoint()
+    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")) \
+        .localCheckpoint()
+    while True:
+        neigh = (
+            edges.join(labels, edges["b"] == labels["doc_id"])
+            .groupBy(F.col("a").alias("doc_id"))
+            .agg(F.min("cluster_id").alias("nmin"))
+        )
+        new_labels = (
+            labels.join(neigh, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.least(F.col("cluster_id"),
+                        F.coalesce(F.col("nmin"), F.col("cluster_id"))
+                        ).alias("cluster_id"),
+            )
+            .localCheckpoint()
+        )
+        changed = (
+            labels.withColumnRenamed("cluster_id", "old")
+            .join(new_labels, "doc_id")
+            .where(F.col("old") != F.col("cluster_id"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
 @_q("s1_seed_rank_paged", sql="""
     WITH seeds AS (
       SELECT 'https://h' || CAST(user_id % 40 AS VARCHAR)
