@@ -1450,10 +1450,18 @@ def s1_seed_rank_paged(spark, sf_dir):
                  ).alias("url"),
         (F.col("user_id") % 7).cast("int").alias("priority"),
     )
-    ranked, _total, _cache = with_seed_rank(spark, seeds)
-    return ranked.where(F.col("_seed_rank") <= 200).select(
+    ranked, _total, cache = with_seed_rank(spark, seeds)
+    page = ranked.where(F.col("_seed_rank") <= 200).select(
         "url", "priority", F.col("_seed_rank").cast("bigint").alias("seed_rank")
     )
+    # Materialize the (small) page eagerly, then release the rank cache —
+    # with_seed_rank's contract puts the unpersist on the caller, and a
+    # harness query must not pin the full seed table in the block manager
+    # for the session lifetime (r4 review finding).  localCheckpoint blocks
+    # are GC-cleaned with the returned DataFrame, same as other entries.
+    page = page.localCheckpoint()
+    cache.unpersist()
+    return page
 
 
 @_q("u1_u4_framework_vote", sql="""
@@ -1490,7 +1498,8 @@ def s1_seed_rank_paged(spark, sf_dir):
       FROM bits
     )
     SELECT doc_id, variant, hit,
-      CASE WHEN NOT hit THEN NULL
+      CASE WHEN hit IS NULL THEN NULL  -- NULL text: engine vote is NULL too
+           WHEN NOT hit THEN NULL
            WHEN kl >= ku AND kl >= ks THEN 'log4j'
            WHEN ku >= ks THEN 'utillogger'
            ELSE 'slf4j' END AS vote,

@@ -403,10 +403,13 @@ class CommitLogFormat:
 
     @staticmethod
     def _version_dirs(path: str):
-        """Snapshot version data dirs under ``path``, oldest first."""
+        """Snapshot version data dirs under ``path``, oldest first.
+        Sorted NUMERICALLY — lexicographic order breaks past v999999 and
+        would GC the live version (r4 review finding)."""
         return sorted(
-            name for name in os.listdir(path)
-            if name.startswith("v") and name[1:].isdigit()
+            (name for name in os.listdir(path)
+             if name.startswith("v") and name[1:].isdigit()),
+            key=lambda name: int(name[1:]),
         )
 
     def write_snapshot(self, df: DataFrame, path: str) -> None:

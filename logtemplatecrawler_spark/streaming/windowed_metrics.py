@@ -29,10 +29,15 @@ from pyspark.sql import functions as F
 
 from logtemplatecrawler_spark.functions.columns import url_host
 
-# partition-dir format for the update sink: hour granularity (= the default
-# window length), zero-padded so LEXICOGRAPHIC comparison == time order —
-# the pruning filter stays a plain string predicate on the partition column
-_WIN_DATE_FMT = "yyyy-MM-dd-HH"
+# Partition key for the update sink: the window start's EPOCH HOUR,
+# zero-padded to fixed width so lexicographic comparison == time order.
+# Epoch arithmetic (not date_format) because a formatted string depends on
+# the session timezone — a reader session in a different zone would render
+# a shifted cutoff and silently prune valid partitions (r4 review finding).
+def _win_date(col):
+    return F.lpad(
+        F.floor(F.unix_timestamp(col) / 3600).cast("string"), 12, "0"
+    )
 
 
 def _legacy_unpartitioned(out_dir: str) -> bool:
@@ -129,8 +134,7 @@ def drain_windowed_updates(spark, pages_dir: str, schema: str,
             stamped.write.mode("append").parquet(out_dir)
         else:
             (
-                stamped.withColumn(
-                    "win_date", F.date_format("win_start", _WIN_DATE_FMT))
+                stamped.withColumn("win_date", _win_date(F.col("win_start")))
                 .write.mode("append").partitionBy("win_date").parquet(out_dir)
             )
 
@@ -157,7 +161,7 @@ def _scan_updates(spark, out_dir: str, min_win_start=None) -> DataFrame:
         cutoff = F.lit(min_win_start).cast("timestamp")
         if "win_date" in df.columns:
             # string predicate on the partition column → partition pruning
-            df = df.where(F.col("win_date") >= F.date_format(cutoff, _WIN_DATE_FMT))
+            df = df.where(F.col("win_date") >= _win_date(cutoff))
         df = df.where(F.col("win_start") >= cutoff)
     if "win_date" in df.columns:
         df = df.drop("win_date")

@@ -21,10 +21,16 @@ import json
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--checkpoint", required=True)
-    ap.add_argument("--format", choices=["auto", "parquet", "commitlog"],
+    ap.add_argument("--format", choices=["auto", "parquet", "commitlog",
+                                         "bucketed"],
                     default="auto",
                     help="auto (default) infers the format from the "
-                         "checkpoint's commit markers")
+                         "checkpoint's commit markers — prefer it: an "
+                         "explicit --format parquet on a BUCKETED "
+                         "checkpoint would rewrite the compacted snapshot "
+                         "unbucketed and permanently downgrade the layout")
+    ap.add_argument("--buckets", type=int, default=32,
+                    help="bucket count for --format bucketed")
     ap.add_argument("--master", default=None)
     args = ap.parse_args()
 
@@ -34,6 +40,7 @@ def main() -> None:
     )
     from logtemplatecrawler_spark.session import build_session
     from logtemplatecrawler_spark.sources.table_format import (
+        BucketedParquetFormat,
         CommitLogFormat,
         ParquetManifestFormat,
         detect_format,
@@ -44,9 +51,12 @@ def main() -> None:
         if fmt is None:
             ap.error(f"no recognizable committed round under {args.checkpoint} "
                      "(nothing to compact; pass --format to override detection)")
+    elif args.format == "parquet":
+        fmt = ParquetManifestFormat()
+    elif args.format == "bucketed":
+        fmt = BucketedParquetFormat(n_buckets=args.buckets)
     else:
-        fmt = (ParquetManifestFormat() if args.format == "parquet"
-               else CommitLogFormat())
+        fmt = CommitLogFormat()
     spark = build_session("compact_checkpoint", master=args.master)
     spark.sparkContext.setLogLevel("ERROR")
     try:

@@ -199,7 +199,8 @@ def test_windowed_updates_pruned_read(spark, tmp_path):
     # files of closed windows (win_date below the cutoff) are pruned from
     # the actual scan: input_file_name() reflects post-pruning reads
     # (inputFiles() would report the relation's full pre-pruning listing)
-    cut_str = cutoff.strftime("%Y-%m-%d-%H")
+    # partition key = zero-padded epoch hour (timezone-independent)
+    cut_str = str(int(cutoff.timestamp()) // 3600).zfill(12)
     from logtemplatecrawler_spark.streaming.windowed_metrics import _scan_updates
 
     def scanned(df):
