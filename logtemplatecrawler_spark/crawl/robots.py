@@ -27,6 +27,38 @@ def robots_prefixes(robots: DataFrame) -> DataFrame:
 # 8 GB broadcast), so bigger tables take a shuffle join instead.
 MAX_BROADCAST_HOSTS = 5_000_000
 
+# Spark's broadcast hard limit is in BYTES (8 GB), not rows: a prefix table
+# with a few hosts carrying thousands of long Disallow rules can blow the
+# cap well below MAX_BROADCAST_HOSTS (ADVICE r04).  Budget conservatively —
+# the deserialized JVM row overhead multiplies the raw string bytes, and the
+# broadcast must also fit beside the executors' working memory.
+BROADCAST_BYTE_BUDGET = 512 * 1024 * 1024
+_PER_PREFIX_OVERHEAD = 48   # UTF8String + array-slot object headers
+_PER_HOST_OVERHEAD = 96     # row object + host string header + array header
+
+
+def broadcast_fits(prefixes: DataFrame,
+                   byte_budget: int = BROADCAST_BYTE_BUDGET,
+                   max_hosts: int = MAX_BROADCAST_HOSTS) -> bool:
+    """ONE aggregate job over the rolled-up prefix table deciding whether it
+    is safe to broadcast: estimated deserialized size (string bytes +
+    per-row/per-element overhead) within ``byte_budget`` AND row count
+    within ``max_hosts`` (rows cap the driver-side collect cost even when
+    the strings are short)."""
+    row = prefixes.agg(
+        F.count(F.lit(1)).alias("hosts"),
+        F.coalesce(F.sum(
+            F.aggregate(
+                "disallow_prefixes",
+                F.lit(0).cast("bigint"),
+                lambda acc, p: acc + F.octet_length(p) + _PER_PREFIX_OVERHEAD,
+            )
+            + F.octet_length("host")
+        ), F.lit(0)).alias("str_bytes"),
+    ).collect()[0]
+    est_bytes = row["str_bytes"] + row["hosts"] * _PER_HOST_OVERHEAD
+    return row["hosts"] <= max_hosts and est_bytes <= byte_budget
+
 
 def with_robots_blocked(frontier_like: DataFrame, robots: DataFrame,
                         broadcast: bool = None) -> DataFrame:
@@ -38,15 +70,16 @@ def with_robots_blocked(frontier_like: DataFrame, robots: DataFrame,
     shuffle join for host lists too big to broadcast (VERDICT r03 item 5:
     at 10^8 listed hosts an unconditional broadcast exceeds Spark's
     broadcast limits; AQE's skew-join handling covers the mega-host key).
-    None (default) → auto: ONE tiny count job on the rolled-up prefix
-    table decides.  The round loop counts once per crawl and passes the
-    decision explicitly (a per-round count would be a wasted job).
-    Both paths produce identical results
+    None (default) → auto: ONE tiny aggregate job on the rolled-up prefix
+    table decides — sized in BYTES, not rows (see :func:`broadcast_fits`).
+    The round loop decides once per crawl and passes the decision
+    explicitly (a per-round job would be wasted).  Both paths produce
+    identical results
     (tests/test_scale_plans.py::test_robots_gate_shuffle_fallback).
     """
     prefixes = robots_prefixes(robots)
     if broadcast is None:
-        broadcast = prefixes.count() <= MAX_BROADCAST_HOSTS
+        broadcast = broadcast_fits(prefixes)
     joined = F.broadcast(prefixes) if broadcast else prefixes
     path = F.coalesce(F.parse_url(F.col("url"), F.lit("PATH")), F.lit("/"))
     blocked = F.when(

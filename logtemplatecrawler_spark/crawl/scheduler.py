@@ -62,7 +62,7 @@ from pyspark.sql import functions as F
 from logtemplatecrawler_spark.crawl import frontier as FR
 from logtemplatecrawler_spark.crawl.politeness import pop_per_host
 from logtemplatecrawler_spark.crawl.robots import (
-    MAX_BROADCAST_HOSTS,
+    broadcast_fits,
     robots_prefixes,
     with_robots_blocked,
 )
@@ -349,8 +349,11 @@ def with_seed_rank(spark: SparkSession, all_seeds: DataFrame):
         F.create_map(*[F.lit(x) for kv in rank_base.items() for x in kv])
         if rank_base else F.create_map()
     )
+    # bigint, not int: past ~2.1B seeds an int32 rank silently wraps
+    # negative and breaks the seed-page cursor slicing — the whole point of
+    # the distributed rank is warehouse-scale seed lists (ADVICE r04).
     ranked = part.withColumn(
-        "_seed_rank", (base_expr[F.col("_pid")] + F.col("_mid")).cast("int")
+        "_seed_rank", (base_expr[F.col("_pid")] + F.col("_mid")).cast("bigint")
     ).drop("_pid", "_mid")
     # `ranked` is a cheap projection over the PERSISTED `part`; the caller
     # unpersists `part` (third element) when the crawl ends.
@@ -492,10 +495,13 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         "warc_ts", "html", "text", "lang",
     )
 
-    # Robots join strategy: ONE count of the rolled-up per-host prefix
+    # Robots join strategy: ONE aggregate over the rolled-up per-host prefix
     # table decides broadcast vs shuffle for the whole crawl (the robots
-    # table is a crawl-static input — recounting per round is a wasted job).
-    robots_bcast = robots_prefixes(robots).count() <= MAX_BROADCAST_HOSTS
+    # table is a crawl-static input — re-deciding per round is a wasted
+    # job).  Sized in BYTES, not rows — Spark's broadcast cap is a byte
+    # limit, and hosts with thousands of long Disallow rules can exceed it
+    # at small row counts (ADVICE r04).
+    robots_bcast = broadcast_fits(robots_prefixes(robots))
 
     metrics_log: List[Dict] = []
     # Incremental URL-seen bloom (r4): the driver keeps the bit array

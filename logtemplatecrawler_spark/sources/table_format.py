@@ -424,15 +424,27 @@ class CommitLogFormat:
         # GC versions beyond the retention window; the newest
         # ``retained_versions`` (current included) stay readable for
         # concurrent readers holding a just-superseded pointer.
-        for name in self._version_dirs(path)[:-self.retained_versions]:
+        for name in self._doomed_versions(path, self.retained_versions):
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
+
+    def _doomed_versions(self, path: str, keep: int):
+        """Version dirs eligible for GC: everything except the dir the
+        ``_meta.json`` pointer resolves to (ALWAYS retained — numeric order
+        alone would, after a crash between the parquet write and the meta
+        swap, rank the orphan vNNNNNN newest and delete the live pointed-to
+        version, leaving ``read_snapshot`` resolving to a deleted dir —
+        ADVICE r04) plus the newest ``keep - 1`` other dirs."""
+        live = os.path.basename(self._resolve(path))
+        others = [d for d in self._version_dirs(path) if d != live]
+        return others[: -(keep - 1) or None]
 
     def expire_versions(self, path: str, keep: int = 1) -> int:
         """Offline history expiry (single-writer maintenance window): drop
-        all but the newest ``keep`` version dirs.  Returns dirs removed."""
+        all but the meta-pointed live version and the newest ``keep - 1``
+        other version dirs.  Returns dirs removed."""
         if keep < 1:
             raise ValueError("keep must be >= 1")
-        doomed = self._version_dirs(path)[:-keep]
+        doomed = self._doomed_versions(path, keep)
         for name in doomed:
             shutil.rmtree(os.path.join(path, name), ignore_errors=True)
         return len(doomed)

@@ -281,6 +281,8 @@ def test_seed_rank_matches_global_window(spark):
     base = frontier_from_seeds(seeds)
     ranked, total, cache = with_seed_rank(spark, base)
     try:
+        # bigint, not int32: ~2.1B+ seeds must not wrap negative (ADVICE r04)
+        assert dict(ranked.dtypes)["_seed_rank"] == "bigint"
         got = {r["url"]: r["_seed_rank"] for r in ranked.collect()}
         w = Window.orderBy(F.col("priority").desc(), F.col("url").asc())
         want = {

@@ -126,6 +126,33 @@ def test_robots_gate_shuffle_fallback(spark):
     assert any(b for _, b in got)  # the gate actually blocks something
 
 
+def test_robots_broadcast_decision_is_byte_sized(spark):
+    """ADVICE r04: Spark's broadcast cap is in BYTES — a few hosts carrying
+    thousands of long Disallow rules must fall back to the shuffle join
+    even though the row count is tiny, while a genuinely small table still
+    broadcasts."""
+    from logtemplatecrawler_spark.crawl.robots import (
+        broadcast_fits, robots_prefixes,
+    )
+
+    fat = spark.range(4).select(
+        F.concat(F.lit("h"), "id", F.lit(".example.org")).alias("host"),
+        F.explode(
+            F.expr("transform(sequence(1, 2000), i ->"
+                   " concat('/very/long/disallowed/path/prefix/', i))")
+        ).alias("disallow_prefix"),
+    )
+    # 4 hosts × 2000 × ~40-byte prefixes ≈ 320 KiB of strings + overhead
+    assert not broadcast_fits(robots_prefixes(fat), byte_budget=100_000)
+    assert broadcast_fits(robots_prefixes(fat))  # default budget: fine
+    slim = spark.createDataFrame(
+        [("h1.example.org", "/private")], "host string, disallow_prefix string"
+    )
+    assert broadcast_fits(robots_prefixes(slim), byte_budget=100_000)
+    # row-count cap still applies independently of bytes
+    assert not broadcast_fits(robots_prefixes(fat), max_hosts=2)
+
+
 def test_seed_rank_has_no_single_partition_stage(spark):
     """VERDICT r03 item 2: the seed-ranking cursor must not funnel the whole
     seed list through one task — no global Window, no SinglePartition

@@ -271,6 +271,29 @@ def test_commitlog_version_retention(spark, tmp_path):
     assert [tuple(r) for r in fmt.read_snapshot(spark, path).collect()] == [("c", 3)]
 
 
+def test_commitlog_expiry_survives_orphan_version(spark, tmp_path):
+    """A crash between write_snapshot's parquet write and its meta swap
+    leaves an ORPHAN vNNNNNN that is numerically newest while _meta.json
+    still points at the older live version.  expire_versions (and the
+    inline retention GC) must expire relative to the META POINTER — a
+    numeric-order GC would delete the live committed snapshot and keep the
+    orphan, destroying the frontier (ADVICE r04, repro'd)."""
+    fmt = CommitLogFormat()
+    path = str(tmp_path / "snap")
+    fmt.write_snapshot(_df(spark, [("live", 1)]), path)
+    live_dir = fmt._resolve(path)
+    # simulate the crash window: v000001 data written, meta never swapped
+    _df(spark, [("orphan", 2)]).write.parquet(os.path.join(path, "v000001"))
+    assert fmt.expire_versions(path, keep=1) == 1  # the orphan, not the live dir
+    assert os.path.isdir(live_dir)
+    assert [tuple(r) for r in fmt.read_snapshot(spark, path).collect()] == [("live", 1)]
+    # the inline retention GC takes the same guard: with the orphan back in
+    # place, an overwrite (retained_versions=2) keeps live + current
+    _df(spark, [("orphan", 2)]).write.parquet(os.path.join(path, "v000001"))
+    fmt.write_snapshot(_df(spark, [("next", 3)]), path)
+    assert [tuple(r) for r in fmt.read_snapshot(spark, path).collect()] == [("next", 3)]
+
+
 def test_crawl_config_validation(tmp_path):
     with pytest.raises(ValueError, match="compact_every"):
         CrawlConfig(checkpoint_dir=str(tmp_path), compact_every=0)
