@@ -164,6 +164,10 @@ def _frontier_snap_path(cfg: CrawlConfig, rnd: int) -> str:
     return os.path.join(_round_dir(cfg, rnd), "frontier")
 
 
+def _pending_snap_path(cfg: CrawlConfig, rnd: int) -> str:
+    return os.path.join(_round_dir(cfg, rnd), "frontier_pending")
+
+
 def merge_on_read(base: DataFrame, deltas: DataFrame) -> DataFrame:
     """Keep-latest-per-url merge of a compacted base snapshot with LATER
     delta rows (every delta round > the base's round, so any delta row
@@ -223,6 +227,76 @@ def load_frontier(spark: SparkSession, cfg: CrawlConfig, rnd: int) -> DataFrame:
     if deltas is None:
         return base
     return merge_on_read(base, deltas)
+
+
+def write_frontier_snapshots(spark: SparkSession, cfg: CrawlConfig,
+                             frontier_next: DataFrame, rnd: int) -> None:
+    """Write a compacted full frontier snapshot AND its pending-only
+    sidecar (VERDICT r04 item 1: snapshots secondarily organized by state).
+
+    The sidecar holds exactly the ``state == 'pending'`` slice — the small,
+    hot subset every round's pop actually needs — so the per-round pending
+    read (:func:`load_frontier_pending`) never scans the 10^10 mostly-done
+    main snapshot (bucketed-by-url files cannot row-group-skip on
+    ``state``).  Write order is main-then-sidecar: a crash between the two
+    leaves a complete main snapshot whose missing sidecar makes the reader
+    fall back to the full-scan filter (never wrong, just unpruned).  The
+    sidecar is sourced from a read-back of the just-written main snapshot —
+    one extra scan of data already local, instead of recomputing the
+    MERGE-on-read a second time.  Under ``BucketedParquetFormat`` the
+    sidecar is frontier-shaped, so it is itself bucketed by url and the
+    pending view's MERGE-on-read stays exchange-free on its base side."""
+    fmt = cfg.table_format
+    snap = _frontier_snap_path(cfg, rnd)
+    fmt.write_snapshot(frontier_next, snap)
+    pending_only = fmt.read_snapshot(spark, snap).where(
+        F.col("state") == FR.STATE_PENDING
+    )
+    fmt.write_snapshot(pending_only, _pending_snap_path(cfg, rnd))
+
+
+def load_frontier_pending(spark: SparkSession, cfg: CrawlConfig,
+                          rnd: int) -> DataFrame:
+    """The ``state == 'pending'`` slice of the committed frontier as of
+    round ``rnd`` WITHOUT reading the full snapshot (VERDICT r04 item 1).
+
+    Reconstruction: the base compaction round's pending-only sidecar merged
+    (keep-latest per url) with ALL delta rows after it, then filtered to
+    pending.  Correct because state transitions only ever leave 'pending'
+    (pending → done/missing/too_small/blocked are terminal) and every row
+    that BECOMES pending after the base enters via a delta (new admission),
+    so ``merge_on_read(sidecar, deltas) WHERE state='pending'`` is exactly
+    the pending set: sidecar rows later touched are superseded by their
+    non-pending delta row and filtered; admissions come in with the deltas.
+    Per-round read cost: O(|pending| + |touched| · compact_every), never
+    O(|frontier|).  Checkpoints written before the sidecar existed fall
+    back to the full-scan filter (correct, unpruned).  Equality with the
+    full-scan filter is pinned by
+    tests/test_crawl.py::test_pending_view_matches_full_filter; the pruned
+    file set by tests/test_scale_plans.py::test_pending_view_skips_main_snapshot."""
+    fmt = cfg.table_format
+    base_round = _latest_snapshot_round(cfg, rnd, _frontier_snap_path)
+    if base_round is None:
+        raise FileNotFoundError(
+            f"no compacted frontier snapshot ≤ round {rnd} under {cfg.checkpoint_dir}"
+        )
+    sidecar = _pending_snap_path(cfg, base_round)
+    if not fmt.snapshot_exists(sidecar):
+        return load_frontier(spark, cfg, rnd).where(
+            F.col("state") == FR.STATE_PENDING
+        )
+    base = fmt.read_snapshot(spark, sidecar)
+    if base_round == rnd:
+        return base
+    deltas = fmt.read_deltas(
+        spark, _frontier_delta_dir(cfg), max_round=rnd,
+        min_round_exclusive=base_round,
+    )
+    if deltas is None:
+        return base
+    return merge_on_read(base, deltas).where(
+        F.col("state") == FR.STATE_PENDING
+    )
 
 
 def _neg_snap_path(cfg: CrawlConfig, rnd: int) -> str:
@@ -397,8 +471,18 @@ def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
     snap_path = os.path.join(_round_dir(cfg, last), "frontier")
     wrote = False
     if not fmt.snapshot_exists(snap_path):
-        fmt.write_snapshot(load_frontier(spark, cfg, last), snap_path)
+        write_frontier_snapshots(spark, cfg, load_frontier(spark, cfg, last), last)
         wrote = True
+    elif not fmt.snapshot_exists(_pending_snap_path(cfg, last)):
+        # snapshot exists but its pending sidecar doesn't (crash between the
+        # two writes, or a pre-sidecar checkpoint): backfill it so the
+        # per-round pending read prunes from here on.
+        fmt.write_snapshot(
+            fmt.read_snapshot(spark, snap_path).where(
+                F.col("state") == FR.STATE_PENDING
+            ),
+            _pending_snap_path(cfg, last),
+        )
     pruned = fmt.prune_deltas(_frontier_delta_dir(cfg), last)
 
     # Same treatment for the negative-cache keys: fold deltas ≤ last into a
@@ -429,6 +513,7 @@ def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
         # full key-set copy) — migrated checkpoints still hold them and they
         # are unreachable after compaction, so expire them too (ADVICE r03).
         for dead in (os.path.join(_round_dir(cfg, b), "frontier"),
+                     _pending_snap_path(cfg, b),
                      _neg_snap_path(cfg, b),
                      os.path.join(_round_dir(cfg, b), "neg_keys")):
             if fmt.snapshot_exists(dead):
@@ -439,7 +524,8 @@ def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
     # the single-writer maintenance window, exactly Iceberg's
     # expire_snapshots.
     if hasattr(fmt, "expire_versions"):
-        for live in (snap_path, _neg_snap_path(cfg, last)):
+        for live in (snap_path, _pending_snap_path(cfg, last),
+                     _neg_snap_path(cfg, last)):
             if fmt.snapshot_exists(live):
                 fmt.expire_versions(live, keep=1)
     return {"round": last, "wrote_snapshot": wrote,
@@ -447,6 +533,18 @@ def compact_checkpoint(spark: SparkSession, cfg: CrawlConfig) -> Dict:
             "wrote_neg_snapshot": wrote_neg,
             "pruned_neg_delta_partitions": neg_pruned,
             "expired_snapshots": expired}
+
+
+def _read_committed_metrics(cfg: CrawlConfig, rnd: int) -> Optional[Dict]:
+    """metrics.json of a committed round (both formats write it into the
+    round dir via ``commit_round``); None when absent (legacy checkpoint)."""
+    path = os.path.join(_round_dir(cfg, rnd), "metrics.json")
+    if not os.path.exists(path):
+        return None
+    import json
+
+    with open(path) as fh:
+        return json.load(fh)
 
 
 def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
@@ -466,10 +564,20 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     fmt = cfg.table_format
     resumed = last_complete_round(cfg)
     neg = _load_neg_cache(spark, cfg, resumed)
-    # The committed frontier is re-read (reconstructed) each round and used
-    # by several jobs (pop, bloom, anti-join, transitions, stats); one
-    # persist per round keeps the MERGE-on-read window from replaying.
+    # Per-round working sets (VERDICT r04 item 1 — the pop path must not
+    # scan 10^10 mostly-done rows):
+    # * ``pending`` — the pending VIEW (sidecar + deltas, load_frontier_pending);
+    #   feeds robots gate → pop → fetch and the per-round delta construction.
+    # * ``frontier`` — the full committed state; still needed by the paths
+    #   that are exact over ALL urls (discovery anti-join, bloom maintenance,
+    #   seed-page idempotent admission, compaction merge).
+    # One persist each per round keeps the reconstructions from replaying.
     persisted_frontier: Optional[DataFrame] = None
+    persisted_pending: Optional[DataFrame] = None
+    # Running state counts (the committed frontier's state → row count),
+    # maintained INCREMENTALLY from each round's O(|touched|) delta stats
+    # instead of a full-frontier groupBy per round (VERDICT r04 item 1).
+    state_counts: Optional[Dict[str, int]] = None
     if resumed is None:
         if cfg.seeds_per_round is None:
             frontier = all_seeds
@@ -477,10 +585,28 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             frontier = all_seeds.where(
                 F.col("_seed_rank") <= cfg.seeds_per_round
             ).drop("_seed_rank")
+        # fresh crawl: everything is pending; ONE count seeds the running
+        # totals (paged mode reads it off the persisted rank cache)
+        pending = frontier
+        state_counts = {FR.STATE_PENDING: frontier.count()}
         next_round = 0
     else:
         frontier = load_frontier(spark, cfg, resumed).persist()
         persisted_frontier = frontier
+        pending = load_frontier_pending(spark, cfg, resumed).persist()
+        persisted_pending = pending
+        prev_metrics = _read_committed_metrics(cfg, resumed)
+        if prev_metrics and "frontier_states" in prev_metrics:
+            state_counts = {
+                k: int(v) for k, v in prev_metrics["frontier_states"].items()
+            }
+        else:
+            # legacy checkpoint without metrics.json: ONE full groupBy at
+            # resume (never per round)
+            state_counts = {
+                r["state"]: r["count"]
+                for r in frontier.groupBy("state").count().collect()
+            }
         next_round = resumed + 1
     # Compaction only runs offline, so the neg snapshot round cannot change
     # mid-crawl: resolve it ONCE here and pass it to every per-round
@@ -518,6 +644,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     for rnd in range(next_round, cfg.max_rounds):
         t0 = time.monotonic()
         seed_cursor = (rnd + 1) * cfg.seeds_per_round if cfg.seeds_per_round else None
+        page: Optional[DataFrame] = None
         if cfg.seeds_per_round is not None and rnd > 0:
             # Admit the next seed page (cursor = rnd * page size).  Seeds
             # already present (e.g. discovered as outlinks) are skipped —
@@ -531,17 +658,27 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 "url", "url_hash", "host", "salt", "priority", "depth",
                 "state", F.lit(rnd).alias("round_added"), F.lit(rnd).alias("updated_round"),
             )
-            frontier = frontier.unionByName(page)
-        pending = frontier.where(F.col("state") == FR.STATE_PENDING)
+        # Working views for the round: `pending_r` (the pending VIEW + this
+        # round's seed page) drives the pop; `frontier_r` backs the paths
+        # that must be exact over ALL urls.  The per-round full-frontier
+        # `where(state = 'pending')` scan is gone — the pending view
+        # reconstructs from the pending-only sidecar + deltas
+        # (load_frontier_pending, VERDICT r04 item 1).
+        pending_r = pending if page is None else pending.unionByName(page)
+        frontier_r = frontier if page is None else frontier.unionByName(page)
 
-        gated = with_robots_blocked(pending, robots, broadcast=robots_bcast)
-        blocked = gated.where(F.col("robots_blocked")).select("url")
+        gated = with_robots_blocked(pending_r, robots, broadcast=robots_bcast)
+        # blocked keeps FULL frontier columns: it feeds the round delta
+        # directly (a url-only projection would force a join-back later)
+        blocked = gated.where(F.col("robots_blocked")).drop("robots_blocked")
         eligible = gated.where(~F.col("robots_blocked")).drop("robots_blocked")
 
         popped = pop_per_host(eligible, cfg.host_budget, salted=True)
-        popped_urls = popped.select("url", "priority", "depth")
 
-        fetched = popped_urls.join(pages_kv, "url", "left")
+        # The fetch join carries the popped rows' full frontier columns
+        # through, so the round's delta rows are a projection of `fetched`
+        # (+ blocked + admissions) — no full-frontier transitions join.
+        fetched = popped.join(pages_kv, "url", "left")
         fetched = fetched.withColumn(
             "fetch_state",
             F.when(F.col("text").isNull(), F.lit(FR.STATE_MISSING))
@@ -586,7 +723,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                         and bloom_capacity_exceeded(bloom_state, frontier_size_est):
                     bloom_state = None  # outgrown — full rebuild below
                 if bloom_state is None:
-                    bloom_state = build_bloom(frontier, min_keys=cfg.bloom_min_keys)
+                    bloom_state = build_bloom(frontier_r, min_keys=cfg.bloom_min_keys)
                 else:
                     # O(|new urls|) incremental add: every url that entered
                     # the frontier in rounds ≥ bloom_covered (this round's
@@ -594,7 +731,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                     # overlap at == bloom_covered is an idempotent re-add)
                     bloom_state = add_to_bloom(
                         bloom_state,
-                        frontier.where(F.col("round_added") >= bloom_covered)
+                        frontier_r.where(F.col("round_added") >= bloom_covered)
                         .select("url_hash"),
                     )
                 bloom_covered = rnd
@@ -605,7 +742,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 # bloom-consuming job (the frontier commit) runs.
                 bloom = BroadcastBloom(spark.sparkContext, bloom)
             candidates = FR.with_frontier_keys(candidates, n_salts=cfg.n_salts)
-            new_urls = filter_unseen(candidates, frontier, bloom)
+            new_urls = filter_unseen(candidates, frontier_r, bloom)
             new_rows = new_urls.select(
                 "url", "url_hash", "host", "salt",
                 F.lit(cfg.discovered_priority).alias("priority"),
@@ -617,21 +754,40 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         else:
             new_rows = spark.createDataFrame([], schema=FR.FRONTIER_DDL)
 
-        # State transitions carry lineage: updated_round records when a row
-        # last changed state (per-partition history = frontier snapshots ×
-        # (salt, updated_round)).
-        transitions = fetched.select("url", F.col("fetch_state").alias("new_state")) \
-            .unionByName(blocked.select("url", F.lit(FR.STATE_BLOCKED).alias("new_state")))
-        frontier_next = (
-            frontier.join(transitions, "url", "left")
-            .withColumn(
-                "updated_round",
-                F.when(F.col("new_state").isNotNull(), F.lit(rnd)).otherwise(F.col("updated_round")),
-            )
-            .withColumn("state", F.coalesce(F.col("new_state"), F.col("state")))
-            .drop("new_state")
-            .unionByName(new_rows)
+        # The round's DELTA — state transitions carry lineage: updated_round
+        # records when a row last changed state (per-partition history =
+        # frontier snapshots × (salt, updated_round)).  Assembled DIRECTLY
+        # from the round's small sets (popped + blocked + admissions +
+        # unconsumed seed page): the r2-r4 formulation left-joined
+        # transitions against the FULL frontier to flip O(|touched|) rows —
+        # a 10^10-row scan per round at the design point (VERDICT r04
+        # item 1).
+        front_cols = ["url", "url_hash", "host", "salt", "priority", "depth"]
+        touched = fetched.select(
+            *front_cols, F.col("fetch_state").alias("state"),
+            "round_added", F.lit(rnd).alias("updated_round"),
         )
+        blocked_rows = blocked.select(
+            *front_cols, F.lit(FR.STATE_BLOCKED).alias("state"),
+            "round_added", F.lit(rnd).alias("updated_round"),
+        )
+        delta_rows = touched.unionByName(blocked_rows).unionByName(
+            new_rows.select(*front_cols, "state", "round_added", "updated_round")
+        )
+        if page is not None:
+            # seed-page rows not consumed this round stay pending; they
+            # entered the frontier this round, so they belong to the delta
+            page_rest = page.join(
+                touched.select("url").unionByName(blocked_rows.select("url")),
+                "url", "left_anti",
+            )
+            delta_rows = delta_rows.unionByName(
+                page_rest.select(*front_cols, "state", "round_added",
+                                 "updated_round")
+            )
+        # One materialization: reused by the frontier commit, the delta
+        # stats, and (on compaction rounds) the snapshot merge.
+        delta_rows = delta_rows.persist()
 
         # --- commit the round ------------------------------------------------
         from logtemplatecrawler_spark.plans.template_pipeline import TEMPLATE_COLUMNS
@@ -642,20 +798,25 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # Frontier commit: durable bytes are O(|touched rows|) — only the
         # state transitions + new admissions of this round go to disk; a
         # compacted full snapshot every compact_every rounds bounds the
-        # number of delta partitions MERGE-on-read has to fold.
+        # number of delta partitions MERGE-on-read has to fold.  Every seed
+        # page / admission row is itself a delta row, so the compaction
+        # merge runs over the PREVIOUS committed state + this delta.
         if rnd % cfg.compact_every == 0:
-            fmt.write_snapshot(frontier_next, os.path.join(rdir, "frontier"))
-        else:
-            fmt.write_delta(
-                frontier_next.where(F.col("updated_round") == rnd),
-                _frontier_delta_dir(cfg), rnd,
+            write_frontier_snapshots(
+                spark, cfg, merge_on_read(frontier, delta_rows), rnd
             )
+        else:
+            fmt.write_delta(delta_rows, _frontier_delta_dir(cfg), rnd)
         if bloom is not None:
             bloom.unpersist()
         frontier = load_frontier(spark, cfg, rnd).persist()
         if persisted_frontier is not None:
             persisted_frontier.unpersist()
         persisted_frontier = frontier
+        pending = load_frontier_pending(spark, cfg, rnd).persist()
+        if persisted_pending is not None:
+            persisted_pending.unpersist()
+        persisted_pending = pending
 
         # Negative-cache delta: append only this round's committed keys;
         # readers take one partition-pruned scan of the whole directory
@@ -681,28 +842,38 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             )
             neg_snap_round = rnd
         neg = load_neg_keys(spark, cfg, rnd, snap_round=neg_snap_round)
-        # ONE stats job over the committed snapshot derives everything else —
-        # recounting `new_rows`/`popped` directly would re-execute the whole
-        # discovery anti-join / politeness window a second time.
-        stats = (
-            frontier.groupBy(
-                "state", "salt",
-                (F.col("updated_round") == rnd).alias("touched"),
-                (F.col("round_added") == rnd).alias("added_now"),
-            ).count().collect()
+        # O(|touched|) metrics: ONE tiny groupBy over the round's delta
+        # updates the RUNNING state counts — the r2-r4 full-frontier stats
+        # groupBy re-scanned 10^10 mostly-done rows every round (VERDICT
+        # r04 item 1).  `prior` marks rows already included in the running
+        # pending count (their transition decrements pending and increments
+        # the new state) vs rows that entered the frontier this round
+        # (increment only): at rnd > 0 that is round_added < rnd; at
+        # rnd == 0 the initial seeds (depth 0, counted at init) vs round-0
+        # discoveries (depth ≥ 1, not yet counted).
+        prior = (
+            (F.col("round_added") < rnd)
+            | ((F.lit(rnd) == 0) & (F.col("depth") == 0))
         )
-        state_counts: Dict[str, int] = {}
+        dstats = delta_rows.groupBy(
+            "state", "salt", prior.alias("prior")
+        ).count().collect()
         per_salt: Dict[str, int] = {}
         n_new = 0
-        for r in stats:
+        for r in dstats:
             state_counts[r["state"]] = state_counts.get(r["state"], 0) + r["count"]
-            if r["touched"] and r["state"] in (
+            if r["prior"]:
+                state_counts[FR.STATE_PENDING] = (
+                    state_counts.get(FR.STATE_PENDING, 0) - r["count"]
+                )
+            elif r["state"] == FR.STATE_PENDING:
+                # discovery admissions (+ this round's unconsumed seed page)
+                n_new += r["count"]
+            if r["state"] in (
                 FR.STATE_DONE, FR.STATE_MISSING, FR.STATE_TOO_SMALL
             ):
                 per_salt[str(r["salt"])] = per_salt.get(str(r["salt"]), 0) + r["count"]
-            if r["added_now"] and r["state"] == FR.STATE_PENDING:
-                # discovery admissions (+ this round's seed page, if paging)
-                n_new += r["count"]
+        state_counts = {k: v for k, v in state_counts.items() if v != 0}
         # feeds next round's bloom resize check (scalable-bloom policy)
         frontier_size_est = sum(state_counts.values())
         elapsed = time.monotonic() - t0
@@ -712,7 +883,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             "robots_blocked": n_blocked,
             "templates": n_templates,
             "discovered_new": n_new,
-            "frontier_states": state_counts,
+            "frontier_states": dict(state_counts),
             "popped_per_salt": per_salt,
             "seed_cursor": seed_cursor,
             "elapsed_sec": round(elapsed, 3),
@@ -721,11 +892,14 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         fmt.commit_round(rdir, metrics)
         metrics_log.append(metrics)
         fetched.unpersist()
+        delta_rows.unpersist()
 
         if state_counts.get(FR.STATE_PENDING, 0) == 0 and not seeds_remain:
             break
     if persisted_frontier is not None:
         persisted_frontier.unpersist()
+    if persisted_pending is not None:
+        persisted_pending.unpersist()
     if _seeds_cache is not None:
         _seeds_cache.unpersist()
     return metrics_log

@@ -18,6 +18,7 @@ from logtemplatecrawler_spark.crawl.scheduler import (
     CrawlConfig,
     last_complete_round,
     load_frontier,
+    load_frontier_pending,
     read_all_templates,
     run_crawl,
 )
@@ -226,6 +227,26 @@ def test_resume_equals_uninterrupted(spark, corpus, tmp_path_factory, crawl_resu
     tb = {(r["url"], r["stmt_idx"], r["template"])
           for r in read_all_templates(spark, resume_cfg).collect()}
     assert ta == tb
+
+
+def test_pending_view_matches_full_filter(spark, crawl_result):
+    """VERDICT r04 item 1: the sidecar+delta pending reconstruction must
+    equal the full-frontier ``state = 'pending'`` filter at EVERY committed
+    round (including rounds between compactions, where the view folds
+    multiple delta partitions over the round-0 sidecar)."""
+    cfg, _ = crawl_result
+    last = last_complete_round(cfg)
+    for rnd in range(last + 1):
+        got = {
+            (r["url"], r["priority"], r["updated_round"])
+            for r in load_frontier_pending(spark, cfg, rnd).collect()
+        }
+        want = {
+            (r["url"], r["priority"], r["updated_round"])
+            for r in load_frontier(spark, cfg, rnd).collect()
+            if r["state"] == "pending"
+        }
+        assert got == want, rnd
 
 
 def test_robots_blocked_never_fetched(spark, corpus, crawl_result):

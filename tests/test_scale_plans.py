@@ -254,6 +254,81 @@ def test_mor_reconstruction_base_side_no_exchange(spark, tmp_path):
     assert merged.where(F.col("state") == "done").count() == deltas.count()
 
 
+def test_pending_view_skips_main_snapshot(spark, tmp_path):
+    """VERDICT r04 item 1 done-criterion: the pending view's INPUT FILES
+    come only from the pending-only sidecar + delta partitions — the
+    mostly-done main snapshot contributes zero files to the per-round
+    pending read (bucketed-by-url files can't row-group-skip on state, so
+    at 10^10 rows the old ``where(state='pending')`` re-read everything)."""
+    from logtemplatecrawler_spark.crawl.scheduler import (
+        CrawlConfig,
+        _frontier_delta_dir,
+        load_frontier,
+        load_frontier_pending,
+        write_frontier_snapshots,
+    )
+    from logtemplatecrawler_spark.sources.table_format import (
+        BucketedParquetFormat,
+    )
+
+    n_buckets = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    cfg = CrawlConfig(
+        checkpoint_dir=str(tmp_path / "ckpt"),
+        table_format=BucketedParquetFormat(n_buckets=n_buckets),
+    )
+    front = (
+        with_frontier_keys(
+            spark.range(20_000).select(
+                F.concat(F.lit("https://h"), (F.col("id") % 7).cast("string"),
+                         F.lit(".example.org/p/"), "id").alias("url")
+            )
+        )
+        .withColumn("priority", F.lit(1))
+        .withColumn("depth", F.lit(0))
+        # 95% done at the base snapshot — the design-point shape
+        .withColumn("state", F.when(F.pmod(F.xxhash64("url"), F.lit(20)) == 0,
+                                    F.lit("pending")).otherwise(F.lit("done")))
+        .withColumn("round_added", F.lit(0))
+        .withColumn("updated_round", F.lit(0))
+        .drop("id")
+    )
+    write_frontier_snapshots(spark, cfg, front, 0)
+    # round 1 delta: half the pending rows transition, plus new admissions
+    flips = (
+        front.where((F.col("state") == "pending")
+                    & (F.pmod(F.xxhash64("url"), F.lit(2)) == 0))
+        .withColumn("state", F.lit("done"))
+        .withColumn("updated_round", F.lit(1))
+    )
+    admits = (
+        with_frontier_keys(
+            spark.range(300).select(
+                F.concat(F.lit("https://new.example.org/p/"), "id").alias("url")
+            )
+        )
+        .withColumn("priority", F.lit(0))
+        .withColumn("depth", F.lit(1))
+        .withColumn("state", F.lit("pending"))
+        .withColumn("round_added", F.lit(1))
+        .withColumn("updated_round", F.lit(1))
+        .drop("id")
+    )
+    cfg.table_format.write_delta(
+        flips.unionByName(admits), _frontier_delta_dir(cfg), 1
+    )
+    pend = load_frontier_pending(spark, cfg, 1)
+    files = pend.inputFiles()
+    assert files
+    assert any("/frontier_pending/" in f for f in files), files
+    assert not any("/frontier/" in f for f in files), files
+    # and the pruned view equals the full-scan filter exactly
+    got = {(r["url"], r["updated_round"]) for r in pend.collect()}
+    want = {(r["url"], r["updated_round"])
+            for r in load_frontier(spark, cfg, 1).collect()
+            if r["state"] == "pending"}
+    assert got == want and len(got) > 0
+
+
 def test_bucketed_frontier_join_is_one_sided(spark, tmp_path):
     """docs/SCALE.md: at warehouse scale the frontier is bucketed by
     ``url_hash`` so the seen anti-join / fetch join exchanges only the small
