@@ -1155,7 +1155,9 @@ def ann_lsh_bucket_search(spark, sf_dir):
     )
 
 
-@_q("ann_ivf_search", sql="""
+def _ivf_search_sql(nprobe: int) -> str:
+    """DuckDB twin of the IVF search, parameterized by probe width."""
+    return f"""
     WITH flat AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS x
@@ -1171,7 +1173,7 @@ def ann_lsh_bucket_search(spark, sf_dir):
         PARTITION BY vec_id ORDER BY round(d2, 6), k) AS rn
       FROM dists
     ), probe AS (
-      SELECT k FROM assign WHERE vec_id = 0 AND rn = 1
+      SELECT k FROM assign WHERE vec_id = 0 AND rn <= {nprobe}
     ), cand AS (
       SELECT a.vec_id FROM assign a JOIN probe ON a.k = probe.k
       WHERE a.rn = 1 AND a.vec_id <> 0
@@ -1189,12 +1191,13 @@ def ann_lsh_bucket_search(spark, sf_dir):
     FROM dots
     ORDER BY round(dot / sqrt(nn * (SELECT qq FROM qn)), 6) DESC, vec_id
     LIMIT 10
-""")
-def ann_ivf_search(spark, sf_dir):
-    """IVF probe-1 search: the query probes its own nearest centroid's cell
-    and ranks only that cell's vectors by exact cosine — the
-    coarse-quantizer counterpart of `ann_lsh_bucket_search` (at scale the
-    cells are the partition keys, so a probe is a partition-pruned scan)."""
+"""
+
+
+def _ivf_search(spark, sf_dir, nprobe: int):
+    """IVF search, probe width ``nprobe``: the query probes its ``nprobe``
+    nearest centroids' cells and exact-cosine ranks only those cells'
+    vectors (each vector belongs to its rn=1 cell)."""
     emb = _t(spark, sf_dir, "embeddings")
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
@@ -1208,19 +1211,22 @@ def ann_ivf_search(spark, sf_dir):
         .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
     )
     w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), F.col("k"))
-    # The assignment table is the IVF index — one row per vector, built once
-    # (localCheckpointed here; written as a partition column at warehouse
-    # scale).  Without it the probe and the candidate cut each replay the
-    # full centroid-distance aggregation over a fresh scan; a .persist()
-    # would leak past the query's lifetime (ADVICE r02).
+    # The assignment table is the IVF index — built once (localCheckpointed
+    # here; written as a partition column at warehouse scale).  Without it
+    # the probe and the candidate cut each replay the full centroid-distance
+    # aggregation over a fresh scan; a .persist() would leak past the
+    # query's lifetime (ADVICE r02).  rn ≤ nprobe rows are retained so the
+    # query row carries its nprobe nearest cells; data vectors always
+    # belong to their rn = 1 cell.
     assign = (
         dists.withColumn("rn", F.row_number().over(w))
-        .where(F.col("rn") == 1)
+        .where(F.col("rn") <= nprobe)
         .localCheckpoint()
     )
     probe = assign.where(F.col("vec_id") == 0).select(F.col("k").alias("pk"))
     cand = (
-        assign.join(F.broadcast(probe), F.col("k") == F.col("pk"))
+        assign.where(F.col("rn") == 1)
+        .join(F.broadcast(probe), F.col("k") == F.col("pk"))
         .where(F.col("vec_id") != 0)
         .select("vec_id")
     )
@@ -1242,6 +1248,25 @@ def ann_ivf_search(spark, sf_dir):
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@_q("ann_ivf_search", sql=_ivf_search_sql(1))
+def ann_ivf_search(spark, sf_dir):
+    """IVF probe-1 search: the query probes its own nearest centroid's cell
+    and ranks only that cell's vectors by exact cosine — the
+    coarse-quantizer counterpart of `ann_lsh_bucket_search` (at scale the
+    cells are the partition keys, so a probe is a partition-pruned scan)."""
+    return _ivf_search(spark, sf_dir, nprobe=1)
+
+
+@_q("ann_ivf_search_nprobe2", sql=_ivf_search_sql(2))
+def ann_ivf_search_nprobe2(spark, sf_dir):
+    """IVF nprobe=2 search (VERDICT r04 item 4 — the recall knob): the
+    query probes its TWO nearest cells; candidates are a superset of the
+    probe-1 set, so recall@k vs the brute-force oracle is monotone in
+    nprobe (tests/test_harness.py::test_multiprobe_recall_monotone).  At
+    scale: two partition-pruned cell reads instead of one."""
+    return _ivf_search(spark, sf_dir, nprobe=2)
 
 
 @_q("dedup_ngram_jaccard", sql="""
@@ -1352,17 +1377,15 @@ def dedup_cluster_canonical(spark, sf_dir):
     similarity-pair graph, labeled by the component's min doc_id, with the
     canonical (kept) document flagged.
 
-    Spark side: iterative hash-min label propagation (each round, a node's
-    label becomes the min of its own and its neighbors' labels; join +
-    groupBy-min per round, ``localCheckpoint`` to cut lineage, loop until a
-    fixpoint — iterations = component diameter, small for near-dup
-    clusters).  This is the GraphX-style connected-components shape
-    expressed in plain DataFrame ops; at 100 TB the edge list comes from
-    the tuned-LSH pair generator (`dedup_lsh_pairs_tuned`) instead of the
-    bounded-slice exact Jaccard used here for oracle exactness, and each
-    iteration is one shuffle of the (nodes ∪ edges) tables.  DuckDB oracle:
-    the same components via a recursive-CTE transitive closure (exact on
-    the doc_id<200 slice)."""
+    Spark side: operators/components.connected_components — iterative
+    hash-min label propagation, ONE job per iteration (the change count
+    rides the lazily-checkpointed propagation itself — VERDICT r04
+    item 6), iterations = component diameter.  The edge list here is the
+    bounded-slice exact Jaccard for oracle exactness; the composed 100 TB
+    path (tuned-LSH candidate pairs → exact shingle-Jaccard verify → the
+    SAME clustering operator) is `dedup_lsh_cluster_canonical` below.
+    DuckDB oracle: the same components via a recursive-CTE transitive
+    closure (exact on the doc_id<200 slice)."""
     docs = _t(spark, sf_dir, "documents").where(F.col("doc_id") < 200)
     words = docs.select(
         "doc_id", F.explode(F.split("text", " ")).alias("w")
@@ -1383,39 +1406,242 @@ def dedup_cluster_canonical(spark, sf_dir):
         .where(jac >= 0.8)
         .select("doc_a", "doc_b")
     )
-    edges = pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b")) \
-        .unionByName(pairs.select(F.col("doc_b").alias("a"),
-                                  F.col("doc_a").alias("b"))) \
-        .localCheckpoint()
-    labels = docs.select("doc_id", F.col("doc_id").alias("cluster_id")) \
-        .localCheckpoint()
-    while True:
-        neigh = (
-            edges.join(labels, edges["b"] == labels["doc_id"])
-            .groupBy(F.col("a").alias("doc_id"))
-            .agg(F.min("cluster_id").alias("nmin"))
-        )
-        new_labels = (
-            labels.join(neigh, "doc_id", "left")
-            .select(
-                "doc_id",
-                F.least(F.col("cluster_id"),
-                        F.coalesce(F.col("nmin"), F.col("cluster_id"))
-                        ).alias("cluster_id"),
-            )
-            .localCheckpoint()
-        )
-        changed = (
-            labels.withColumnRenamed("cluster_id", "old")
-            .join(new_labels, "doc_id")
-            .where(F.col("old") != F.col("cluster_id"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            break
+    from logtemplatecrawler_spark.operators.components import (
+        connected_components,
+    )
+
+    labels, _ = connected_components(docs.select("doc_id"), pairs)
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
+def _lsh_cluster_sql() -> str:
+    """DuckDB twin of the COMPOSED dedup path, generated from the same
+    (coefficients, bands, rows, threshold) constants as the Spark plan:
+    tuned-LSH candidate pairs → exact bigram-shingle Jaccard verify →
+    recursive-CTE transitive closure."""
+    from logtemplatecrawler_spark.operators.minhash import (
+        lsh_banding, minhash_coefficients,
+    )
+
+    coefs = minhash_coefficients(_TUNED_PERMS)
+    bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
+    conds = "\n       OR ".join(
+        "(" + " AND ".join(
+            f"a.mh{band * rows + j} = b.mh{band * rows + j}" for j in range(rows)
+        ) + ")"
+        for band in range(bands)
+    )
+    sig = _shingle_sig_sql(coefs).replace("WITH toks", "WITH RECURSIVE toks", 1)
+    return sig + f""", cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sigs a JOIN sigs b
+        ON a.doc_id < b.doc_id
+       AND ({conds})
+    ), sizes AS (
+      SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+    ), inter AS (
+      SELECT c.doc_a, c.doc_b, count(*) AS i
+      FROM cand c
+      JOIN hashed ha ON ha.doc_id = c.doc_a
+      JOIN hashed hb ON hb.doc_id = c.doc_b AND hb.hw = ha.hw
+      GROUP BY 1, 2
+    ), verified AS (
+      SELECT doc_a, doc_b FROM inter
+      JOIN sizes sa ON sa.doc_id = doc_a
+      JOIN sizes sb ON sb.doc_id = doc_b
+      WHERE i * 1.0 / (sa.n + sb.n - i) >= {_TUNED_THRESHOLD}
+    ), nodes AS (
+      SELECT doc_id FROM documents
+    ), edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM verified
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM verified
+    ), reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id,
+           (src = min(dst)) AS is_canonical
+    FROM reach GROUP BY src
+"""
+
+
+@_q("dedup_lsh_cluster_canonical", sql=_lsh_cluster_sql())
+def dedup_lsh_cluster_canonical(spark, sf_dir):
+    """THE composed 100 TB training-data dedup query (VERDICT r04 item 2),
+    end-to-end over the FULL documents table — no oracle-only slice:
+
+    1. minhash signatures (16 perms, threshold-parameterized 4×4 banding
+       from τ=0.7 — operators/minhash.py) → LSH candidate pairs: per-band
+       equality self-joins on compact keys, never all-pairs;
+    2. LSH-then-verify: candidates confirmed by EXACT bigram-shingle
+       Jaccard ≥ τ computed only over the candidate pairs (the standard
+       production shape — LSH recall, exact precision);
+    3. connected components over the verified pairs
+       (operators/components.connected_components, one job per iteration)
+       with the canonical min-doc_id keeper flagged.
+
+    The DuckDB twin is generated from the same constants and closes the
+    same verified edges with a recursive CTE, so the hash pins the whole
+    composition, not just the stages."""
+    from logtemplatecrawler_spark.operators.components import (
+        connected_components,
+    )
+    from logtemplatecrawler_spark.operators.minhash import (
+        lsh_banding, minhash_coefficients,
+    )
+
+    coefs = minhash_coefficients(_TUNED_PERMS)
+    bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
+    sigs = _minhash_sigs(spark, sf_dir, coefs).localCheckpoint()
+    cand = _band_pairs(sigs, bands=bands, rows=rows)
+    # exact verify over candidates only: shingle hash sets are reused for
+    # the intersection and both set sizes (one materialization)
+    hashes = _shingle_hashes(spark, sf_dir).localCheckpoint()
+    sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
+    ha = hashes.select(F.col("doc_id").alias("doc_a"), "hw")
+    hb = hashes.select(F.col("doc_id").alias("doc_b"), "hw")
+    inter = (
+        cand.join(ha, "doc_a")
+        .join(hb, ["doc_b", "hw"])
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count("*").alias("i"))
+    )
+    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
+    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+    verified = (
+        inter.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .where(
+            F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
+            >= _TUNED_THRESHOLD
+        )
+        .select("doc_a", "doc_b")
+    )
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    labels, _ = connected_components(nodes, verified)
+    return labels.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
+@_q("w1_politeness_pop_salted", sql="""
+    WITH pend AS (
+      SELECT 'h' || CAST(user_id AS VARCHAR) || '.example.org' AS host,
+             'https://h' || CAST(user_id AS VARCHAR) || '.example.org/p/'
+               || CAST(event_id AS VARCHAR) AS url,
+             value AS priority
+      FROM events
+    ), ranked AS (
+      SELECT host, url, priority,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url ASC) AS rn
+      FROM pend
+    )
+    SELECT host, url, priority FROM ranked WHERE rn <= 3
+""")
+def w1_politeness_pop_salted(spark, sf_dir):
+    """W1/W2 driver check of the ENGINE's salted two-phase politeness pop
+    (crawl/politeness.py::pop_per_host(salted=True) — VERDICT r04 item 3:
+    the equivalence 'union of per-(host,salt) top-k re-ranked per host ≡
+    global per-host top-k' was pytest-only).  A frontier-shaped pending set
+    derives from ``events`` (host ↔ user_id, priority ↔ value, unique urls
+    from event_id, salts from crc32(url) % 8 so each host genuinely spans
+    several salt slices); the DuckDB oracle is the single global window the
+    two-phase plan must equal."""
+    from logtemplatecrawler_spark.crawl.politeness import pop_per_host
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    host = F.concat(F.lit("h"), F.col("user_id").cast("string"),
+                    F.lit(".example.org"))
+    pend = ev.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.col("value").alias("priority"),
+    ).withColumn("salt", F.pmod(F.crc32(F.col("url")), F.lit(8)).cast("int"))
+    return pop_per_host(pend, budget=3, salted=True).select(
+        "host", "url", "priority"
+    )
+
+
+def _lsh_multiprobe_sql(k: int = 10, n_planes: int = _SEARCH_PLANES) -> str:
+    """SQL twin of the Hamming-distance-1 multiprobe search: same generated
+    plane constants; the probe set is the query bucket plus every bucket
+    one flipped plane away (xor masks 0, 1, 2, 4, …)."""
+    base = _lsh_search_sql(k=k, n_planes=n_planes)
+    masks = ", ".join(f"({0 if i < 0 else 2 ** i})" for i in range(-1, n_planes))
+    old_cand = """), cand AS (
+      SELECT b.vec_id FROM buckets b JOIN qb ON b.bucket = qb.bucket
+      WHERE b.vec_id <> 0
+    )"""
+    new_cand = f"""), probes AS (
+      SELECT DISTINCT xor(qb.bucket, v.m) AS pb
+      FROM qb, (VALUES {masks}) AS v(m)
+    ), cand AS (
+      SELECT b.vec_id FROM buckets b JOIN probes ON b.bucket = probes.pb
+      WHERE b.vec_id <> 0
+    )"""
+    assert old_cand in base
+    return base.replace(old_cand, new_cand, 1)
+
+
+@_q("ann_lsh_multiprobe_search", sql=_lsh_multiprobe_sql())
+def ann_lsh_multiprobe_search(spark, sf_dir):
+    """Multi-probe LSH search (VERDICT r04 item 4 — the recall knob):
+    probe the query's bucket AND every bucket at Hamming distance 1 (one
+    hyperplane flipped), then exact-cosine rank the union.  Candidates can
+    only grow vs the single-probe `ann_lsh_bucket_search`, so recall@k is
+    monotone in the probe radius (pinned by
+    tests/test_harness.py::test_multiprobe_recall_monotone); at warehouse
+    scale the probes are n_planes+1 partition-pruned bucket reads instead
+    of one."""
+    from logtemplatecrawler_spark.operators.similarity import make_lsh_bucket
+
+    bucket_udf = make_lsh_bucket(_SEARCH_PLANES)
+    emb = _t(spark, sf_dir, "embeddings")
+    buckets = emb.select(
+        "vec_id", bucket_udf(F.col("embedding")).alias("bucket")
+    ).localCheckpoint()
+    qb = buckets.where(F.col("vec_id") == 0)
+    probes = qb.select(
+        F.explode(
+            F.array(
+                F.col("bucket"),
+                *[F.col("bucket").bitwiseXOR(F.lit(1 << i))
+                  for i in range(_SEARCH_PLANES)]
+            )
+        ).alias("pbucket")
+    )
+    cand = (
+        buckets.join(F.broadcast(probes), F.col("bucket") == F.col("pbucket"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    q = emb.where(F.col("vec_id") == 0).select(
+        F.posexplode("embedding").alias("i", "qv")
+    )
+    e = emb.join(cand, "vec_id").select(
+        "vec_id", F.posexplode("embedding").alias("i", "ev")
+    )
+    dots = (
+        e.join(q, "i")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("ev").cast("double") * F.col("qv").cast("double")).alias("dot"),
+            F.sum(F.col("ev").cast("double") * F.col("ev").cast("double")).alias("nn"),
+        )
+    )
+    qq = q.agg(F.sum(F.col("qv").cast("double") * F.col("qv").cast("double")).alias("qq"))
+    cos = F.round(F.col("dot") / F.sqrt(F.col("nn") * F.col("qq")), 6)
+    return (
+        dots.crossJoin(F.broadcast(qq))
+        .select("vec_id", cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
     )
 
 

@@ -153,3 +153,84 @@ def test_lsh_tuned_s_curve(spark):
     low = {p for p, s in exact.items() if s <= 0.3}
     assert high and high <= cand  # full recall above τ (P≥0.998 per pair)
     assert low and len(cand & low) / len(low) <= 0.01  # ~no candidates below τ
+
+    # COMPOSED path (VERDICT r04 item 2): LSH candidates → exact verify →
+    # clustering.  Every exact-Jaccard ≥ 0.9 pair must share a cluster;
+    # every ≤ 0.3 pair must be separated (the τ=0.7 verify kills any LSH
+    # false positive before it can merge clusters); each cluster's label is
+    # its min member, which is the one canonical.
+    labels = {
+        r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in QUERIES["dedup_lsh_cluster_canonical"](spark, SF_DIR).collect()
+    }
+    assert all(labels[a][0] == labels[b][0] for a, b in high)
+    assert all(labels[a][0] != labels[b][0] for a, b in low)
+    clusters = {}
+    for doc_id, (cid, canon) in labels.items():
+        clusters.setdefault(cid, []).append((doc_id, canon))
+        assert canon == (doc_id == cid)
+    for cid, members in clusters.items():
+        assert cid == min(d for d, _ in members)
+        assert sum(c for _, c in members) == 1
+
+
+def test_multiprobe_recall_monotone(spark):
+    """VERDICT r04 item 4: widening the probe set (LSH single bucket →
+    Hamming-1 multiprobe; IVF nprobe 1 → 2) yields a candidate SUPERSET,
+    so recall@10 against the brute-force cosine oracle can only grow — a
+    true-top-10 vector in the narrow result can only be displaced by
+    higher-cosine vectors, of which there are at most 9 globally."""
+    truth = [
+        r["vec_id"]
+        for r in QUERIES["ann_cosine_topk"](spark, SF_DIR).collect()
+    ][:10]
+
+    def recall(name):
+        got = {r["vec_id"] for r in QUERIES[name](spark, SF_DIR).collect()}
+        return len(got & set(truth)) / len(truth)
+
+    lsh1 = recall("ann_lsh_bucket_search")
+    lsh5 = recall("ann_lsh_multiprobe_search")
+    ivf1 = recall("ann_ivf_search")
+    ivf2 = recall("ann_ivf_search_nprobe2")
+    assert lsh5 >= lsh1
+    assert ivf2 >= ivf1
+    assert lsh5 > 0 and ivf2 > 0  # the probes actually find true neighbors
+
+
+def test_connected_components_one_job_per_iteration(spark):
+    """VERDICT r04 item 6: the clustering loop runs ONE Spark job per
+    iteration — the changed-row count rides the lazily-checkpointed
+    propagation frame instead of a second join+count job.  Measured with
+    AQE off (adaptive stage materialization splits one action into several
+    bookkeeping jobs); the old two-action loop would need ≥ 2·iters + 3
+    jobs here."""
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.operators.components import (
+        connected_components,
+    )
+
+    sc = spark.sparkContext
+    spark.conf.set("spark.sql.adaptive.enabled", "false")
+    try:
+        # a path graph maximizes iterations (label 0 travels one hop/round)
+        nodes = spark.range(8).select(F.col("id").alias("doc_id"))
+        pairs = spark.createDataFrame(
+            [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
+        )
+        sc.setJobGroup("cc-jobs", "cc one-job-per-iteration probe")
+        labels, iters = connected_components(nodes, pairs)
+        got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    finally:
+        spark.conf.set("spark.sql.adaptive.enabled", "true")
+    assert got == {i: 0 for i in range(8)}
+    assert iters == 8  # 7 propagation hops + 1 fixpoint confirmation
+    jobs = len(sc.statusTracker().getJobIdsForGroup("cc-jobs"))
+    # 2 setup checkpoints + iters counts + the final collect (+1 slack for
+    # the first broadcast build)
+    assert jobs <= iters + 4, jobs
+
+    # the cap raises instead of returning partial labels
+    with pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(nodes, pairs, max_iters=3)
