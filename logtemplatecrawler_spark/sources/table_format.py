@@ -221,10 +221,17 @@ class BucketedParquetFormat(ParquetManifestFormat):
 
     ``n_buckets`` is the cluster knob: at warehouse scale size it so one
     bucket ≈ one task's worth of frontier (e.g. 4096 buckets at 10^10 rows
-    ≈ 2.4M rows/bucket).  NOTE: Spark's ``DisableUnnecessaryBucketedScan``
-    planner rule falls back to a plain scan (still correct, just not
-    exchange-free) when the bucket count is below the session's shuffle
-    partitions — keep ``n_buckets >= spark.sql.shuffle.partitions``.
+    ≈ 2.4M rows/bucket).  It is fixed for a snapshot's life but NOT for the
+    checkpoint's (VERDICT r04 nit 4): ``target_buckets`` is the grow-only
+    resize policy — offline compaction (``compact_checkpoint``) rewrites
+    the snapshot at the scaled count when the frontier outgrows
+    ``rows_per_bucket``, the same amortized doubling as the URL-seen
+    bloom's scalable policy.  NOTE: Spark's
+    ``DisableUnnecessaryBucketedScan`` planner rule falls back to a plain
+    scan (still correct, just not exchange-free) when the bucket count is
+    below the session's shuffle partitions — keep ``n_buckets >=
+    spark.sql.shuffle.partitions``; reads/writes below that cliff warn
+    (:meth:`_warn_bucket_cliff`).
     """
 
     _BUCKET_MARKER = "_BUCKETS.json"
@@ -232,10 +239,47 @@ class BucketedParquetFormat(ParquetManifestFormat):
     # a snapshot is "frontier-shaped" iff it has these columns
     _FRONTIER_COLS = {"url", "url_hash", "state", "updated_round"}
 
-    def __init__(self, n_buckets: int = 32):
+    def __init__(self, n_buckets: int = 32, rows_per_bucket: int = 2_000_000):
         if n_buckets < 1:
             raise ValueError("n_buckets must be >= 1")
+        if rows_per_bucket < 1:
+            raise ValueError("rows_per_bucket must be >= 1")
         self.n_buckets = n_buckets
+        self.rows_per_bucket = rows_per_bucket
+
+    def target_buckets(self, n_rows: int) -> int:
+        """Grow-only power-of-two bucket count keeping ≤ ``rows_per_bucket``
+        rows per bucket.  Shrinking is deliberately not done: a shrunk
+        count would churn every file for no exchange win, and power-of-two
+        growth keeps rewrites amortized O(log n) over a crawl's life."""
+        need = -(-max(1, n_rows) // self.rows_per_bucket)
+        return max(self.n_buckets, 1 << (need - 1).bit_length())
+
+    @staticmethod
+    def _warn_bucket_cliff(spark: SparkSession, n_buckets: int) -> None:
+        """Surface the DisableUnnecessaryBucketedScan cliff (CLAUDE.md trap,
+        VERDICT r04 nit 4): below the session's shuffle-partition count the
+        bucketed scan silently degrades to a plain scan — still correct,
+        but the exchange-free MOR property is gone, which at the design
+        point is the difference between a local merge and shuffling 10^10
+        rows."""
+        import warnings
+
+        try:
+            parts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+        except Exception:
+            return
+        if n_buckets < parts:
+            warnings.warn(
+                f"BucketedParquetFormat: n_buckets={n_buckets} < "
+                f"spark.sql.shuffle.partitions={parts}; Spark's "
+                "DisableUnnecessaryBucketedScan will fall back to a plain "
+                "scan and the MERGE-on-read base side will shuffle — raise "
+                "n_buckets (or compact with a larger rows_per_bucket-derived "
+                "count) or lower spark.sql.shuffle.partitions",
+                RuntimeWarning,
+                stacklevel=3,
+            )
 
     @staticmethod
     def _table_name(path: str) -> str:
@@ -250,6 +294,7 @@ class BucketedParquetFormat(ParquetManifestFormat):
             return
         name = self._table_name(path)
         spark = df.sparkSession
+        self._warn_bucket_cliff(spark, self.n_buckets)
         spark.sql(f"DROP TABLE IF EXISTS {name}")
         shutil.rmtree(path, ignore_errors=True)
         (
@@ -263,7 +308,10 @@ class BucketedParquetFormat(ParquetManifestFormat):
         )
         _atomic_write_json(
             os.path.join(path, self._BUCKET_MARKER),
-            {"n_buckets": self.n_buckets, "bucket_col": self._BUCKET_COL},
+            {"n_buckets": self.n_buckets, "bucket_col": self._BUCKET_COL,
+             # the resize policy is a property of the CHECKPOINT's life,
+             # not the session — persist it so detect_format restores it
+             "rows_per_bucket": self.rows_per_bucket},
         )
 
     def read_snapshot(self, spark: SparkSession, path: str) -> DataFrame:
@@ -272,6 +320,7 @@ class BucketedParquetFormat(ParquetManifestFormat):
             return super().read_snapshot(spark, path)
         with open(marker) as fh:
             spec = json.load(fh)
+        self._warn_bucket_cliff(spark, spec["n_buckets"])
         name = self._table_name(path)
         if not spark.catalog.tableExists(name):
             schema = spark.read.parquet(path).schema
@@ -320,7 +369,14 @@ def detect_format(checkpoint_dir: str):
             )
             if os.path.exists(bmark):
                 with open(bmark) as fh:
-                    return BucketedParquetFormat(json.load(fh)["n_buckets"])
+                    spec = json.load(fh)
+                return BucketedParquetFormat(
+                    spec["n_buckets"],
+                    rows_per_bucket=spec.get(
+                        "rows_per_bucket",
+                        BucketedParquetFormat().rows_per_bucket,
+                    ),
+                )
             if os.path.exists(os.path.join(rdir, _MANIFEST)):
                 manifest_seen = True
             if os.path.exists(os.path.join(rdir, CommitLogFormat._COMMIT)):

@@ -448,3 +448,100 @@ def test_crawl_identical_across_formats_with_resume(spark, tmp_path):
     tc = {(r["url"], r["stmt_idx"], r["template"], r["round"])
           for r in read_all_templates(spark, bk_cfg).collect()}
     assert tc == ta
+
+
+def test_bucketed_resize_at_compaction(spark, tmp_path):
+    """VERDICT r04 nit 4 done-criterion: offline compaction rewrites the
+    frontier snapshot at a GROWN bucket count once the frontier outgrows
+    ``rows_per_bucket`` (amortized-doubling, like the bloom); the resized
+    checkpoint auto-detects at the new count, MERGE-on-read over it still
+    plans bucketed (exchange-free base), and resume across the resize
+    completes identically to a never-resized reference crawl."""
+    import io
+    from contextlib import redirect_stdout
+
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.crawl.scheduler import (
+        compact_checkpoint, merge_on_read,
+    )
+    from logtemplatecrawler_spark.sources.table_format import detect_format
+
+    pages = generate_pages(N_PAGES, seed=7)
+    ref_cfg = _crawl(spark, pages, str(tmp_path / "ref"), ParquetManifestFormat())
+
+    ck = str(tmp_path / "grow")
+    _crawl(spark, pages, ck, BucketedParquetFormat(n_buckets=2, rows_per_bucket=10),
+           max_rounds=2)
+    cfg = CrawlConfig(checkpoint_dir=ck, host_budget=BUDGET, max_rounds=2,
+                      compact_every=3,
+                      table_format=detect_format(ck))
+    info = compact_checkpoint(spark, cfg)
+    assert info["resized_buckets_to"] is not None
+    assert info["resized_buckets_to"] > 2
+    assert info["wrote_snapshot"]
+
+    detected = detect_format(ck)
+    assert isinstance(detected, BucketedParquetFormat)
+    assert detected.n_buckets == info["resized_buckets_to"]
+
+    # the resized snapshot still drives an exchange-free (bucketed) merge
+    last = last_complete_round(cfg)
+    base = detected.read_snapshot(
+        spark, os.path.join(ck, f"round={last:04d}", "frontier"))
+    delta = base.limit(20).withColumn(
+        "updated_round", F.col("updated_round") + 100)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            merge_on_read(base, delta).explain(mode="simple")
+        assert "Bucketed: true" in buf.getvalue(), buf.getvalue()
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+    # resume ACROSS the resize to completion; equals the reference crawl
+    grown_cfg = _crawl(spark, pages, ck, detected)
+    last_ref = last_complete_round(ref_cfg)
+    assert last_complete_round(grown_cfg) == last_ref
+    a = {(r["url"], r["state"], r["priority"])
+         for r in load_frontier(spark, ref_cfg, last_ref).collect()}
+    b = {(r["url"], r["state"], r["priority"])
+         for r in load_frontier(spark, grown_cfg, last_ref).collect()}
+    assert a == b
+    ta = {(r["url"], r["stmt_idx"], r["template"], r["round"])
+          for r in read_all_templates(spark, ref_cfg).collect()}
+    tb = {(r["url"], r["stmt_idx"], r["template"], r["round"])
+          for r in read_all_templates(spark, grown_cfg).collect()}
+    assert ta == tb
+
+
+def test_bucket_count_policy_and_cliff_warning(spark, tmp_path):
+    """target_buckets grows power-of-two and never shrinks; writing or
+    reading a bucketed snapshot below the session's shuffle-partition
+    count warns about the DisableUnnecessaryBucketedScan cliff."""
+    from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+    from pyspark.sql import functions as F
+
+    fmt = BucketedParquetFormat(n_buckets=4, rows_per_bucket=100)
+    assert fmt.target_buckets(1) == 4          # never shrinks
+    assert fmt.target_buckets(400) == 4        # fits
+    assert fmt.target_buckets(401) == 8        # next power of two
+    assert fmt.target_buckets(100_000) == 1024
+    with pytest.raises(ValueError):
+        BucketedParquetFormat(n_buckets=4, rows_per_bucket=0)
+
+    front = (
+        with_frontier_keys(
+            spark.range(100).select(
+                F.concat(F.lit("https://h.example.org/p/"), "id").alias("url"))
+        )
+        .withColumn("priority", F.lit(1)).withColumn("depth", F.lit(0))
+        .withColumn("state", F.lit("pending"))
+        .withColumn("round_added", F.lit(0))
+        .withColumn("updated_round", F.lit(0)).drop("id")
+    )
+    small = BucketedParquetFormat(n_buckets=2)  # < shuffle partitions (8)
+    path = str(tmp_path / "cliff")
+    with pytest.warns(RuntimeWarning, match="DisableUnnecessaryBucketedScan"):
+        small.write_snapshot(front, path)
