@@ -798,10 +798,13 @@ def text_fingerprint(spark, sf_dir):
 def mm_binary_meta(spark, sf_dir):
     """Multimodal column plumbing: documents.text encoded to an opaque
     binary payload column, then metadata extracted in a mapInPandas stage
-    (Arrow batches of binary).  The 'decode' is a deterministic fake — real
-    image/audio decoding slots into `_decode_batch` (libs not present in
-    this environment); the Spark-side schema/partitioning/batching is real
-    and the SQL oracle checks it end-to-end."""
+    (Arrow batches of binary).  Decode goes through the optional-codec
+    seam (operators/multimodal.py, VERDICT r04 item 8): Pillow decodes
+    real images when importable, undecodable payloads (all fixture rows —
+    they are text) fall back to the deterministic fake the SQL oracle
+    mirrors, so the hash is stable with or without the library.  The
+    vectorized no-codec fast path avoids per-row Python when no codec is
+    installed."""
     docs = _t(spark, sf_dir, "documents").select(
         "doc_id", F.encode("text", "utf-8").alias("payload"),
         F.md5("text").alias("_md5"),
@@ -809,14 +812,30 @@ def mm_binary_meta(spark, sf_dir):
 
     def _decode_batch(batches):
         import pandas as pd
+
+        from logtemplatecrawler_spark.operators.multimodal import (
+            IMAGE_CODEC, image_meta,
+        )
         for pdf in batches:
-            nbytes = pdf["payload"].map(len)
-            yield pd.DataFrame({
-                "doc_id": pdf["doc_id"],
-                "nbytes": nbytes.astype("int64"),
-                "magic": pdf["_md5"].str.slice(0, 8),
-                "fake_width": (nbytes % 640).astype("int64"),
-            })
+            if IMAGE_CODEC is None:
+                nbytes = pdf["payload"].map(len)
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "nbytes": nbytes.astype("int64"),
+                    "magic": pdf["_md5"].str.slice(0, 8),
+                    "fake_width": (nbytes % 640).astype("int64"),
+                })
+            else:
+                metas = [
+                    image_meta(p, m, codec=IMAGE_CODEC)
+                    for p, m in zip(pdf["payload"], pdf["_md5"])
+                ]
+                yield pd.DataFrame({
+                    "doc_id": pdf["doc_id"],
+                    "nbytes": pd.Series([m[0] for m in metas], dtype="int64"),
+                    "magic": [m[1] for m in metas],
+                    "fake_width": pd.Series([m[2] for m in metas], dtype="int64"),
+                })
 
     return docs.mapInPandas(
         _decode_batch, schema="doc_id bigint, nbytes bigint, magic string, fake_width bigint"
@@ -839,8 +858,9 @@ def mm_frame_sample(spark, sf_dir):
     opaque binary payload is decoded, sliced and fingerprinted inside a
     mapInPandas stage (Arrow binary batches) — the plumbing shape of video
     frame-sampling / audio chunking, with the codec swapped for a slicer
-    the SQL oracle can mirror (real decoders slot into `_sample`; libs
-    absent here).  Frames are character slices on BOTH sides (DuckDB
+    the SQL oracle can mirror (a real keyframe decoder slots into
+    operators/multimodal.sample_frames' ``codec`` argument; libs absent
+    here).  Frames are character slices on BOTH sides (DuckDB
     substr/length are character-based) so non-ASCII corpora agree —
     ADVICE r02: byte-slicing here silently diverged off-ASCII; pinned by
     tests/test_harness.py::test_mm_frame_sample_non_ascii."""
@@ -849,19 +869,16 @@ def mm_frame_sample(spark, sf_dir):
     )
 
     def _sample(batches):
-        import hashlib
-
         import pandas as pd
+
+        from logtemplatecrawler_spark.operators.multimodal import sample_frames
         for pdf in batches:
             ids, idxs, sigs = [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                txt = bytes(payload).decode("utf-8")
-                n_frames = -(-len(txt) // 32)
-                for i in range(0, n_frames, 4):
+                for idx, sig in sample_frames(bytes(payload).decode("utf-8")):
                     ids.append(doc_id)
-                    idxs.append(i)
-                    frame = txt[i * 32:i * 32 + 32]
-                    sigs.append(hashlib.md5(frame.encode("utf-8")).hexdigest())
+                    idxs.append(idx)
+                    sigs.append(sig)
             yield pd.DataFrame({"doc_id": ids, "frame_idx": idxs, "frame_sig": sigs})
 
     return docs.mapInPandas(

@@ -229,3 +229,62 @@ def test_politeness_mega_host_skew(spark):
     b = sorted(r["url"] for r in unsalted.collect())
     assert a == b
     assert len(a) == budget + n_hosts  # budget from mega + 1 per small host
+
+
+def test_image_meta_codec_seam():
+    """VERDICT r04 item 8: the multimodal decode dispatch — a codec that
+    decodes wins (real metadata), a codec that rejects the payload (or no
+    codec at all) falls back to the deterministic fake the SQL oracle
+    mirrors.  Tested WITHOUT Pillow via injected stubs; fixture corpora
+    are text, so harness output is identical in both environments."""
+    from logtemplatecrawler_spark.operators.multimodal import (
+        IMAGE_CODEC, image_meta, sample_frames,
+    )
+
+    payload = "hello multimodal".encode("utf-8")
+    md5hex = "0123456789abcdef"
+    fake = (len(payload), md5hex[:8], len(payload) % 640)
+
+    # no codec → deterministic fake
+    assert image_meta(payload, md5hex, codec=None) == fake
+    # codec rejects (not an image) → same fake, byte-identical
+    assert image_meta(payload, md5hex, codec=lambda p: None) == fake
+    # codec decodes → real metadata wins
+    stub = lambda p: {"width": 640, "height": 480, "mode": "RGB"}  # noqa: E731
+    assert image_meta(payload, md5hex, codec=stub) == (len(payload), "img:RGB", 640)
+    # sandbox truth: no image libs here, so the resolved codec is None and
+    # the harness entries run the vectorized fake path
+    try:
+        import PIL  # noqa: F401
+        assert IMAGE_CODEC is not None
+    except ImportError:
+        assert IMAGE_CODEC is None
+
+    # frame sampling: default slicer = every 4th 32-char frame; an injected
+    # keyframe codec replaces the slicer with the same output contract
+    text = "ab" * 100  # 200 chars → 7 frames → indices 0 and 4
+    frames = sample_frames(text)
+    assert [i for i, _ in frames] == [0, 4]
+    import hashlib
+    assert frames[0][1] == hashlib.md5(text[:32].encode()).hexdigest()
+    injected = sample_frames(text, codec=lambda t: ["k0", "k1", "k2", "k3", "k4"])
+    assert [i for i, _ in injected] == [0, 4]
+    assert injected[1][1] == hashlib.md5(b"k4").hexdigest()
+
+
+def test_image_meta_real_codec_when_available():
+    """The Pillow leg of the seam — runs only where the library exists."""
+    pytest.importorskip("PIL")
+    import io
+
+    from PIL import Image
+
+    from logtemplatecrawler_spark.operators.multimodal import (
+        IMAGE_CODEC, image_meta,
+    )
+
+    buf = io.BytesIO()
+    Image.new("RGB", (12, 5)).save(buf, format="PNG")
+    payload = buf.getvalue()
+    nbytes, magic, width = image_meta(payload, "ff" * 8, codec=IMAGE_CODEC)
+    assert (nbytes, magic, width) == (len(payload), "img:RGB", 12)
