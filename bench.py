@@ -96,19 +96,31 @@ def main() -> None:
         "ann_lsh_bucket_search",
         "crawl_frontier_mor",
     ]
+    # r5 additions (VERDICT r04 items 2-4): the composed dedup pipeline,
+    # the engine politeness pop, and the multi-probe recall knobs; summed
+    # into `value_r5_suite` so `value` (r1-r3 set) and `value_full_suite`
+    # (r4 set) stay cross-round comparable.
+    headline_v3_extra = [
+        "dedup_lsh_cluster_canonical",
+        "w1_politeness_pop_salted",
+        "ann_lsh_multiprobe_search",
+        "ann_ivf_search_nprobe2",
+    ]
 
     def one_pass():
         t = {}
         t["template_pipeline"] = _run_thunk(lambda: extract_templates(pages, dedup=True))
         t["politeness_pop"] = _run_thunk(lambda: pop_per_host(frontier_like, budget=2))
-        for name in headline + headline_v2_extra:
+        for name in headline + headline_v2_extra + headline_v3_extra:
             # construct INSIDE the timed region: query builders may
             # materialize eagerly (localCheckpoint'd index/signature
             # tables), and excluding that would silently flatter the
             # per-query number vs earlier rounds
             t[name] = _run_thunk(lambda n=name: harness.QUERIES[n](spark, sf_dir))
         old_set = ["template_pipeline", "politeness_pop"] + headline
-        return t, sum(t[k] for k in old_set), sum(t.values())
+        v2_set = old_set + headline_v2_extra
+        return (t, sum(t[k] for k in old_set), sum(t[k] for k in v2_set),
+                sum(t.values()))
 
     # Min-of-N: this VM's CPU steal arrives in multi-second bursts that
     # evade /proc/stat (BASELINE.md), so a single-pass number is a coin
@@ -118,12 +130,14 @@ def main() -> None:
     n_runs = max(1, int(os.environ.get("BENCH_RUNS", "3")))
     runs = []
     runs_full = []
+    runs_r5 = []
     per_query = []
     for _ in range(n_runs):
-        t, tot_old, tot_full = one_pass()
+        t, tot_old, tot_full, tot_r5 = one_pass()
         per_query.append(t)
         runs.append(tot_old)
         runs_full.append(tot_full)
+        runs_r5.append(tot_r5)
     timings = {k: min(t[k] for t in per_query) for k in per_query[0]}
     total = min(runs)
 
@@ -135,8 +149,10 @@ def main() -> None:
         "unit": "sec",
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "value_full_suite": round(min(runs_full), 3),
+        "value_r5_suite": round(min(runs_r5), 3),
         "runs_sec": [round(r, 3) for r in runs],
         "runs_full_sec": [round(r, 3) for r in runs_full],
+        "runs_r5_sec": [round(r, 3) for r in runs_r5],
         "sf": sf,
         "bench_pages": n_pages,
         "pages_per_sec": round(n_pages / timings["template_pipeline"], 2),
