@@ -707,15 +707,10 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # One materialization of the (small) per-round batch: reused by the
         # pipeline, discovery, transitions, and metrics.
         fetched = fetched.persist()
-        n_blocked = blocked.count()
-        n_popped = fetched.count()
         seeds_remain = (
             cfg.seeds_per_round is not None and seed_cursor is not None
             and seed_cursor < _n_seeds_total
         )
-        if n_popped == 0 and n_blocked == 0 and not seeds_remain:
-            fetched.unpersist()
-            break
 
         good = fetched.where(F.col("fetch_state") == FR.STATE_DONE)
         templates = extract_templates(
@@ -808,6 +803,51 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # stats, and (on compaction rounds) the snapshot merge.
         delta_rows = delta_rows.persist()
 
+        # ONE stats job per round (r5): this groupBy over the O(|touched|)
+        # delta supplies the popped/blocked counts (r4 ran two separate
+        # count jobs for them), the termination check, the per-salt
+        # politeness metrics, the admission count, AND the incremental
+        # state-count update — the r2-r4 full-frontier metrics groupBy is
+        # gone (VERDICT r04 item 1).  `prior` marks rows already in the
+        # running pending count (their transition decrements pending) vs
+        # rows that entered the frontier this round: at rnd > 0 that is
+        # round_added < rnd; at rnd == 0 the initial seeds (depth 0,
+        # counted at init) vs round-0 discoveries (depth ≥ 1).
+        prior = (
+            (F.col("round_added") < rnd)
+            | ((F.lit(rnd) == 0) & (F.col("depth") == 0))
+        )
+        dstats = delta_rows.groupBy(
+            "state", "salt", prior.alias("prior")
+        ).count().collect()
+        fetch_states = (FR.STATE_DONE, FR.STATE_MISSING, FR.STATE_TOO_SMALL)
+        n_popped = sum(r["count"] for r in dstats if r["state"] in fetch_states)
+        n_blocked = sum(
+            r["count"] for r in dstats if r["state"] == FR.STATE_BLOCKED
+        )
+        if n_popped == 0 and n_blocked == 0 and not seeds_remain:
+            if bloom is not None:
+                bloom.unpersist()
+            fetched.unpersist()
+            delta_rows.unpersist()
+            break
+        per_salt: Dict[str, int] = {}
+        n_new = 0
+        for r in dstats:
+            state_counts[r["state"]] = state_counts.get(r["state"], 0) + r["count"]
+            if r["prior"]:
+                state_counts[FR.STATE_PENDING] = (
+                    state_counts.get(FR.STATE_PENDING, 0) - r["count"]
+                )
+            elif r["state"] == FR.STATE_PENDING:
+                # discovery admissions (+ this round's unconsumed seed page)
+                n_new += r["count"]
+            if r["state"] in fetch_states:
+                per_salt[str(r["salt"])] = per_salt.get(str(r["salt"]), 0) + r["count"]
+        state_counts = {k: v for k, v in state_counts.items() if v != 0}
+        # feeds next round's bloom resize check (scalable-bloom policy)
+        frontier_size_est = sum(state_counts.values())
+
         # --- commit the round ------------------------------------------------
         from logtemplatecrawler_spark.plans.template_pipeline import TEMPLATE_COLUMNS
         templates = templates.select(*TEMPLATE_COLUMNS).withColumn("round", F.lit(rnd))
@@ -861,40 +901,6 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
             )
             neg_snap_round = rnd
         neg = load_neg_keys(spark, cfg, rnd, snap_round=neg_snap_round)
-        # O(|touched|) metrics: ONE tiny groupBy over the round's delta
-        # updates the RUNNING state counts — the r2-r4 full-frontier stats
-        # groupBy re-scanned 10^10 mostly-done rows every round (VERDICT
-        # r04 item 1).  `prior` marks rows already included in the running
-        # pending count (their transition decrements pending and increments
-        # the new state) vs rows that entered the frontier this round
-        # (increment only): at rnd > 0 that is round_added < rnd; at
-        # rnd == 0 the initial seeds (depth 0, counted at init) vs round-0
-        # discoveries (depth ≥ 1, not yet counted).
-        prior = (
-            (F.col("round_added") < rnd)
-            | ((F.lit(rnd) == 0) & (F.col("depth") == 0))
-        )
-        dstats = delta_rows.groupBy(
-            "state", "salt", prior.alias("prior")
-        ).count().collect()
-        per_salt: Dict[str, int] = {}
-        n_new = 0
-        for r in dstats:
-            state_counts[r["state"]] = state_counts.get(r["state"], 0) + r["count"]
-            if r["prior"]:
-                state_counts[FR.STATE_PENDING] = (
-                    state_counts.get(FR.STATE_PENDING, 0) - r["count"]
-                )
-            elif r["state"] == FR.STATE_PENDING:
-                # discovery admissions (+ this round's unconsumed seed page)
-                n_new += r["count"]
-            if r["state"] in (
-                FR.STATE_DONE, FR.STATE_MISSING, FR.STATE_TOO_SMALL
-            ):
-                per_salt[str(r["salt"])] = per_salt.get(str(r["salt"]), 0) + r["count"]
-        state_counts = {k: v for k, v in state_counts.items() if v != 0}
-        # feeds next round's bloom resize check (scalable-bloom policy)
-        frontier_size_est = sum(state_counts.values())
         elapsed = time.monotonic() - t0
         metrics = {
             "round": rnd,
