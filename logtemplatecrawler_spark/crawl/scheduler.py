@@ -649,16 +649,18 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
     robots_bcast = broadcast_fits(robots_prefixes(robots))
 
     metrics_log: List[Dict] = []
-    # Incremental URL-seen bloom (r4): the driver keeps the bit array
-    # across rounds and ORs in only the urls that ENTERED the frontier
-    # since the last update — a full rebuild (scan + 4×-explode + shuffle
-    # of the WHOLE frontier, ruinous at 10^10 rows) happens only at crawl
-    # start and when the frontier outgrows the array's sizing (amortized
-    # O(log n) rebuilds — the scalable-bloom policy).  `bloom_covered` is
-    # the round whose admissions the array already includes; re-adding an
-    # overlap is a no-op (bloom insert = idempotent OR).
+    # Incremental URL-seen bloom (r4, scan-free r5): the driver keeps the
+    # bit array across rounds and ORs in only the urls that ENTERED the
+    # frontier since the last update — a full rebuild (scan + 4×-explode +
+    # shuffle of the WHOLE frontier, ruinous at 10^10 rows) happens only at
+    # crawl start and when the frontier outgrows the array's sizing
+    # (amortized O(log n) rebuilds — the scalable-bloom policy).  A live
+    # bloom is updated EVERY discovery round, so the increment is exactly
+    # the previous round's delta (kept persisted one extra round as
+    # ``prev_delta``) plus this round's seed page — no frontier filter
+    # scan at all; re-adding overlap rows is a no-op (insert = OR).
     bloom_state = None
-    bloom_covered = -1
+    prev_delta: Optional[DataFrame] = None
     frontier_size_est: Optional[int] = None
     for rnd in range(next_round, cfg.max_rounds):
         t0 = time.monotonic()
@@ -739,16 +741,23 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
                 if bloom_state is None:
                     bloom_state = build_bloom(frontier_r, min_keys=cfg.bloom_min_keys)
                 else:
-                    # O(|new urls|) incremental add: every url that entered
-                    # the frontier in rounds ≥ bloom_covered (this round's
-                    # seed page + the previous rounds' discoveries; the
-                    # overlap at == bloom_covered is an idempotent re-add)
-                    bloom_state = add_to_bloom(
-                        bloom_state,
-                        frontier_r.where(F.col("round_added") >= bloom_covered)
-                        .select("url_hash"),
+                    # O(|touched|) incremental add WITHOUT a frontier scan
+                    # (r5): a live bloom was updated last round, so the
+                    # urls that entered the frontier since then are exactly
+                    # the previous round's delta rows (its admissions;
+                    # transition rows re-add keys already present — an
+                    # idempotent OR) plus this round's seed page.
+                    # Bit-identical to the r4 `round_added >= covered`
+                    # filter over the full frontier — at O(|touched|)
+                    # collected instead of O(|frontier|) scanned per round.
+                    inc = (
+                        prev_delta.select("url_hash")
+                        if prev_delta is not None
+                        else spark.createDataFrame([], "url_hash bigint")
                     )
-                bloom_covered = rnd
+                    if page is not None:
+                        inc = inc.unionByName(page.select("url_hash"))
+                    bloom_state = add_to_bloom(bloom_state, inc)
             bloom = bloom_state
             if bloom is not None:
                 # Explicit broadcast: ship the bits once per executor (not
@@ -917,12 +926,18 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         fmt.commit_round(rdir, metrics)
         metrics_log.append(metrics)
         fetched.unpersist()
-        delta_rows.unpersist()
+        # the round's delta stays persisted ONE extra round: it is the next
+        # round's bloom increment (scan-free incremental add, above)
+        if prev_delta is not None:
+            prev_delta.unpersist()
+        prev_delta = delta_rows
 
         if state_counts.get(FR.STATE_PENDING, 0) == 0 and not seeds_remain:
             break
     if persisted_frontier is not None:
         persisted_frontier.unpersist()
+    if prev_delta is not None:
+        prev_delta.unpersist()
     if persisted_pending is not None:
         persisted_pending.unpersist()
     if _seeds_cache is not None:

@@ -773,6 +773,59 @@ def text_lang_id(spark, sf_dir):
     )
 
 
+@_q("text_tfidf_topk", sql="""
+    WITH words AS (
+      SELECT doc_id, unnest(string_split(text, ' ')) AS w FROM documents
+    ), tf AS (
+      SELECT doc_id, w, count(*) AS tf FROM words GROUP BY 1, 2
+    ), df AS (
+      SELECT w, count(DISTINCT doc_id) AS df FROM words GROUP BY 1
+    ), n AS (
+      SELECT count(*) AS n FROM documents
+    ), scored AS (
+      SELECT tf.doc_id, tf.w AS term,
+             round(tf.tf * ln(CAST((SELECT n FROM n) AS DOUBLE) / df.df), 6)
+               AS tfidf
+      FROM tf JOIN df ON tf.w = df.w
+    ), ranked AS (
+      SELECT doc_id, term, tfidf,
+             row_number() OVER (PARTITION BY doc_id
+                                ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    )
+    SELECT doc_id, term, tfidf FROM ranked WHERE rn <= 3
+""")
+def text_tfidf_topk(spark, sf_dir):
+    """Corpus-level TF-IDF with per-doc top-3 terms — the keyword /
+    quality-signal extraction step of a training-data pipeline.  Scale
+    shape: term frequencies and document frequencies are two independent
+    partial-aggregated groupBys over the exploded token table, the corpus
+    size is ONE broadcast scalar, and the top-k is a per-doc window
+    (WindowGroupLimit caps each key map-side).  Scores are rounded to 6 dp
+    BEFORE ranking on both engines so the cross-engine float comparison
+    (Java Math.log vs libm) is stable; term is the total-order tiebreak."""
+    docs = _t(spark, sf_dir, "documents")
+    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
+    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
+    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    n = docs.agg(F.count("*").cast("double").alias("n"))
+    scored = (
+        tf.join(dfreq, "w")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id", F.col("w").alias("term"),
+            F.round(F.col("tf") * F.log(F.col("n") / F.col("df")), 6)
+            .alias("tfidf"),
+        )
+    )
+    win = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return (
+        scored.withColumn("rn", F.row_number().over(win))
+        .where(F.col("rn") <= 3)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
 @_q("text_fingerprint", sql="""
     SELECT doc_id, md5(lower(text)) AS fp, length(text) AS n FROM documents
 """)
