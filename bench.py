@@ -105,6 +105,8 @@ def main() -> None:
         "w1_politeness_pop_salted",
         "ann_lsh_multiprobe_search",
         "ann_ivf_search_nprobe2",
+        "text_tfidf_topk",
+        "dedup_repeated_ngram_spans",
     ]
 
     def one_pass():

@@ -1390,6 +1390,67 @@ def dedup_ngram_jaccard(spark, sf_dir):
     )
 
 
+@_q("dedup_repeated_ngram_spans", sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, array_length(ws) - 7)) AS pos
+      FROM toks WHERE array_length(ws) >= 8
+    ), keyed AS (
+      SELECT g.doc_id, g.pos,
+             substr(md5(array_to_string(t.ws[g.pos:g.pos+7], ' ')), 1, 15)
+               AS gk
+      FROM grams g JOIN toks t ON t.doc_id = g.doc_id
+    ), shared AS (
+      SELECT gk FROM keyed GROUP BY gk HAVING count(DISTINCT doc_id) >= 2
+    )
+    SELECT k.doc_id,
+           count(*) AS total_grams,
+           count(s.gk) AS dup_grams,
+           round(count(s.gk) * 1.0 / count(*), 6) AS dup_ratio
+    FROM keyed k LEFT JOIN shared s ON k.gk = s.gk
+    GROUP BY k.doc_id
+""")
+def dedup_repeated_ngram_spans(spark, sf_dir):
+    """Cross-document repeated-span contamination — the word-8-gram
+    approximation of exact-substring training-data dedup (find spans that
+    occur verbatim in more than one document; docs with a high duplicated
+    fraction get filtered or span-trimmed).  Scale shape: explode the
+    positions, key each 8-gram with a portable md5-prefix hash, ONE
+    groupBy finds grams shared across ≥2 docs, one join + groupBy scores
+    each document — no pairwise comparisons anywhere, cost O(total
+    tokens).  DuckDB twin slices the same grams via list ranges."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= 8
+    )
+    keyed = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 7),"
+                " i -> substring(md5(array_join(slice(ws, i, 8), ' ')), 1, 15))"
+            )
+        ).alias("gk"),
+    )
+    shared = (
+        keyed.groupBy("gk")
+        .agg(F.countDistinct("doc_id").alias("nd"))
+        .where(F.col("nd") >= 2)
+        .select("gk", F.lit(1).alias("_shared"))
+    )
+    return (
+        keyed.join(shared, "gk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.count("_shared").alias("dup_grams"),
+            F.round(F.count("_shared") / F.count("*"), 6).alias("dup_ratio"),
+        )
+    )
+
+
 @_q("text_token_count_regex", sql="""
     SELECT doc_id,
            CAST(length(regexp_extract_all(text, '[a-zA-Z]+|[0-9]+|[^a-zA-Z0-9 ]'))

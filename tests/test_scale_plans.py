@@ -363,3 +363,19 @@ def test_bucketed_frontier_join_is_one_sided(spark, tmp_path):
     finally:
         spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
         spark.sql("DROP TABLE IF EXISTS frontier_bucketed")
+
+
+def test_training_ops_plan_shapes(spark):
+    """r5 training-data entries keep their scale shapes: the TF-IDF top-k
+    window group-limits map-side (no full sort per doc), its corpus-size
+    scalar joins as a broadcast (never a CartesianProduct), and the
+    repeated-ngram span scorer is aggregation-only — no pairwise joins."""
+    from logtemplatecrawler_spark.plans.harness import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    tfidf = _explain(QUERIES["text_tfidf_topk"](spark, sf), "simple")
+    assert "WindowGroupLimit" in tfidf, tfidf
+    assert "CartesianProduct" not in tfidf, tfidf
+    spans = _explain(QUERIES["dedup_repeated_ngram_spans"](spark, sf), "simple")
+    assert "CartesianProduct" not in spans, spans
+    assert "BroadcastNestedLoopJoin" not in spans, spans
