@@ -3,9 +3,10 @@
 Each round is one deterministic micro-batch (SURVEY §2.9: the reference is
 cron-batch, not streaming, so the engine is batch-iterative by design):
 
-  1. pending = frontier.state == 'pending', robots-gated (blocked rows are
-     retired permanently, mirroring the reference's discarded_repositories
-     split F1);
+  1. pending = the committed pending VIEW (pending-only sidecar snapshot +
+     later deltas — never a scan of the mostly-done full frontier, r5),
+     robots-gated (blocked rows are retired permanently, mirroring the
+     reference's discarded_repositories split F1);
   2. pop ≤ host_budget URLs per host via the salted windowed priority queue
      (W1/W2; ≡ the reference's LIMIT-k lease O4);
   3. "fetch" = left join against the pages table on canonical url (S3/S4 —
