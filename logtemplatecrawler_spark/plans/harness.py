@@ -1081,8 +1081,98 @@ def ann_ivf_assign(spark, sf_dir):
     )
 
 
-@_q("dedup_embedding_cosine_pairs", sql="""
+def _assign_nearest(flat, cents, label_col):
+    """Argmin-distance assignment: every vector to its nearest centroid.
+    ``flat`` = (vec_id, i, x) long form; ``cents`` = (k, i, c) centroids.
+    Distances rounded to 6 decimals before ranking (ties broken by k) so
+    float summation order can't flip the argmin across engines."""
+    dists = (
+        flat.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), F.col("k"))
+    return (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("vec_id", F.col("k").alias(label_col))
+    )
+
+
+@_q("ann_ivf_kmeans_refine", sql="""
     WITH flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cents0 AS (
+      SELECT vec_id % 8 AS k, i, avg(x) AS c FROM flat GROUP BY 1, 2
+    ), d0 AS (
+      SELECT f.vec_id, c.k, sum((f.x - c.c) * (f.x - c.c)) AS d2
+      FROM flat f JOIN cents0 c ON f.i = c.i GROUP BY 1, 2
+    ), a0 AS (
+      SELECT vec_id, k AS centroid0 FROM (
+        SELECT vec_id, k, row_number() OVER (
+          PARTITION BY vec_id ORDER BY round(d2, 6), k) AS rn
+        FROM d0) WHERE rn = 1
+    ), cents1 AS (
+      SELECT a0.centroid0 AS k, f.i, avg(f.x) AS c
+      FROM flat f JOIN a0 ON a0.vec_id = f.vec_id GROUP BY 1, 2
+    ), d1 AS (
+      SELECT f.vec_id, c.k, sum((f.x - c.c) * (f.x - c.c)) AS d2
+      FROM flat f JOIN cents1 c ON f.i = c.i GROUP BY 1, 2
+    ), a1 AS (
+      SELECT vec_id, k AS centroid FROM (
+        SELECT vec_id, k, row_number() OVER (
+          PARTITION BY vec_id ORDER BY round(d2, 6), k) AS rn
+        FROM d1) WHERE rn = 1
+    )
+    SELECT a1.vec_id, a0.centroid0, a1.centroid,
+           a0.centroid0 <> a1.centroid AS moved
+    FROM a1 JOIN a0 ON a0.vec_id = a1.vec_id
+""")
+def ann_ivf_kmeans_refine(spark, sf_dir):
+    """IVF codebook TRAINING — one Lloyd iteration as pure DataFrame ops,
+    the missing piece between the deterministic seed centroids
+    (`ann_ivf_assign`) and the probe entries: seed assignment → recompute
+    centroids as assigned-cluster means → re-assign.  Output keeps both
+    labels plus a `moved` flag so the oracle pins the full step, and Lloyd
+    monotonicity (the k-means objective cannot increase) is property-tested
+    in tests/test_harness.py.
+
+    Scale shape: each half-iteration is one broadcast join (≤ k·dims
+    centroid rows — 512 here, still tiny at k=65k dims=1k) + one
+    groupBy-agg over the long-form vectors; a full training loop is this
+    stage iterated, exactly how IVF codebooks are fit over a corpus sample
+    at 100 TB.  No all-pairs product anywhere; the wide table is touched
+    twice per iteration (assign, re-center).  Distances rounded before
+    ranking for cross-engine argmin stability (same device as
+    `ann_ivf_assign`)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    cents0 = flat.groupBy((F.col("vec_id") % 8).alias("k"), "i").agg(
+        F.avg("x").alias("c")
+    )
+    a0 = _assign_nearest(flat, cents0, "centroid0")
+    cents1 = (
+        flat.join(a0, "vec_id")
+        .groupBy(F.col("centroid0").alias("k"), "i")
+        .agg(F.avg("x").alias("c"))
+    )
+    a1 = _assign_nearest(flat, cents1, "centroid")
+    return a1.join(a0, "vec_id").select(
+        "vec_id", "centroid0", "centroid",
+        (F.col("centroid0") != F.col("centroid")).alias("moved"),
+    )
+
+
+# shared by the pairs entry, its clustered composition below, and both SQL
+# twins: the exact-cosine near-dup pair generator over the bounded
+# vec_id<300 slice (τ=0.35 — the fixture embeddings are near-orthogonal
+# random vectors, so a production 0.95 threshold would select nothing to
+# check).
+_COSINE_PAIRS_CTE = """flat AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings WHERE vec_id < 300
@@ -1092,16 +1182,17 @@ def ann_ivf_assign(spark, sf_dir):
       SELECT a.vec_id AS vec_a, b.vec_id AS vec_b, sum(a.x * b.x) AS dot
       FROM flat a JOIN flat b ON a.i = b.i AND a.vec_id < b.vec_id
       GROUP BY 1, 2
-    )
-    SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
-    FROM dots
-    JOIN norms na ON na.vec_id = vec_a
-    JOIN norms nb ON nb.vec_id = vec_b
-    WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
-""")
-def dedup_embedding_pairs(spark, sf_dir):
-    """Embedding-cosine near-dup pairs (cos ≥ τ; τ=0.35 here — the fixture embeddings are near-orthogonal random vectors, so a production 0.95 threshold would select nothing to check) over a bounded slice —
-    the exactness oracle for LSH/IVF candidate generation."""
+    ), cpairs AS (
+      SELECT vec_a, vec_b, round(dot / (na.nrm * nb.nrm), 6) AS cosine
+      FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+      WHERE round(dot / (na.nrm * nb.nrm), 6) >= 0.35
+    )"""
+
+
+def _cosine_pair_frame(spark, sf_dir):
+    """Spark twin of ``_COSINE_PAIRS_CTE``: (vec_a, vec_b, cosine) rows."""
     emb = _t(spark, sf_dir, "embeddings").where(F.col("vec_id") < 300)
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
@@ -1120,6 +1211,65 @@ def dedup_embedding_pairs(spark, sf_dir):
         .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
         .where(cos >= 0.35)
         .select("vec_a", "vec_b", cos.alias("cosine"))
+    )
+
+
+@_q("dedup_embedding_cosine_pairs", sql=f"""
+    WITH {_COSINE_PAIRS_CTE}
+    SELECT vec_a, vec_b, cosine FROM cpairs
+""")
+def dedup_embedding_pairs(spark, sf_dir):
+    """Embedding-cosine near-dup pairs (cos ≥ τ) over a bounded slice —
+    the exactness oracle for LSH/IVF candidate generation.  Constants and
+    semantics live in `_cosine_pair_frame` / `_COSINE_PAIRS_CTE` (shared
+    with the clustered composition `dedup_embedding_cosine_canonical`)."""
+    return _cosine_pair_frame(spark, sf_dir)
+
+
+@_q("dedup_embedding_cosine_canonical", sql=f"""
+    WITH RECURSIVE {_COSINE_PAIRS_CTE}, nodes AS (
+      SELECT vec_id FROM embeddings WHERE vec_id < 300
+    ), edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM cpairs
+      UNION ALL
+      SELECT vec_b AS a, vec_a AS b FROM cpairs
+    ), reach AS (
+      SELECT vec_id AS src, vec_id AS dst FROM nodes
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS vec_id, min(dst) AS cluster_id,
+           (src = min(dst)) AS is_canonical
+    FROM reach GROUP BY src
+""")
+def dedup_embedding_cosine_canonical(spark, sf_dir):
+    """Embedding-cosine near-dup DEDUP, composed end-to-end: exact cosine
+    pair generation (cos ≥ τ, `_cosine_pair_frame`) → connected components
+    (operators/components.connected_components — the SAME clustering
+    operator the text-LSH path drives) → canonical min-vec_id keeper.
+
+    This is the embedding leg of the training-data dedup family: the text
+    legs go shingles→MinHash→LSH→verify→cluster; the embedding leg goes
+    cosine-pairs→cluster.  Pair source here is the bounded exact slice for
+    oracle exactness — at 100 TB the pair generator swaps for the
+    hyperplane-LSH bucketed candidates (`ann_lsh_hyperplane` buckets, then
+    exact cosine within buckets), feeding the identical clustering
+    operator.  DuckDB twin: same pair CTE + recursive-closure components."""
+    from logtemplatecrawler_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = _cosine_pair_frame(spark, sf_dir).select(
+        F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b")
+    )
+    nodes = (
+        _t(spark, sf_dir, "embeddings")
+        .where(F.col("vec_id") < 300)
+        .select("vec_id")
+    )
+    labels, _ = connected_components(nodes, pairs, id_col="vec_id")
+    return labels.withColumn(
+        "is_canonical", F.col("vec_id") == F.col("cluster_id")
     )
 
 

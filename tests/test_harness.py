@@ -234,3 +234,65 @@ def test_connected_components_one_job_per_iteration(spark):
     # the cap raises instead of returning partial labels
     with pytest.raises(RuntimeError, match="did not converge"):
         connected_components(nodes, pairs, max_iters=3)
+
+
+def test_kmeans_refine_lloyd_monotone(spark):
+    """`ann_ivf_kmeans_refine` is one true Lloyd step: recomputing
+    centroids as assigned-cluster means and re-assigning cannot increase
+    the k-means objective (means minimize within-cluster squared distance;
+    argmin re-assignment only lowers it further).  Verified numerically
+    against the raw embeddings with the query's own labels."""
+    import numpy as np
+    import pandas as pd
+
+    rows = QUERIES["ann_ivf_kmeans_refine"](spark, SF_DIR).collect()
+    lab = {r["vec_id"]: (r["centroid0"], r["centroid"], r["moved"]) for r in rows}
+    emb = pd.read_parquet(f"{SF_DIR}/embeddings.parquet")
+    X = {int(r.vec_id): np.asarray(r.embedding, dtype=np.float64)
+         for r in emb.itertuples()}
+    assert set(lab) == set(X)
+    for vid, (c0, c1, moved) in lab.items():
+        assert 0 <= c0 < 8 and 0 <= c1 < 8
+        assert moved == (c0 != c1)
+
+    def means(label_ix):
+        cents = {}
+        for vid, x in X.items():
+            cents.setdefault(lab[vid][label_ix], []).append(x)
+        return {k: np.mean(v, axis=0) for k, v in cents.items()}
+
+    cents0 = {k: np.mean([x for vid, x in X.items() if vid % 8 == k], axis=0)
+              for k in range(8)}
+    cents1 = means(0)  # means of the seed-assignment clusters
+    j_before = sum(np.sum((X[v] - cents0[lab[v][0]]) ** 2) for v in X)
+    j_after = sum(np.sum((X[v] - cents1[lab[v][1]]) ** 2) for v in X)
+    assert j_after <= j_before + 1e-9
+    # sanity: the seed assignment itself already beats the mod-8 partition
+    j_mod8 = sum(np.sum((X[v] - cents0[v % 8]) ** 2) for v in X)
+    assert j_before <= j_mod8 + 1e-9
+
+
+def test_embedding_cluster_consistency(spark):
+    """`dedup_embedding_cosine_canonical` composes the cosine-pair
+    generator into connected components: every qualifying pair shares a
+    cluster, each cluster is labeled by its min member, and exactly one
+    member per cluster is canonical."""
+    pairs = [
+        (r["vec_a"], r["vec_b"])
+        for r in QUERIES["dedup_embedding_cosine_pairs"](spark, SF_DIR).collect()
+    ]
+    labels = {
+        r["vec_id"]: (r["cluster_id"], r["is_canonical"])
+        for r in QUERIES["dedup_embedding_cosine_canonical"](spark, SF_DIR).collect()
+    }
+    assert len(labels) == 300  # every node in the slice, singletons included
+    assert pairs, "fixture slice must contain near-dup pairs"
+    for a, b in pairs:
+        assert labels[a][0] == labels[b][0]
+    clusters = {}
+    for vid, (cid, canon) in labels.items():
+        clusters.setdefault(cid, []).append((vid, canon))
+        assert canon == (vid == cid)
+    for cid, members in clusters.items():
+        assert cid == min(v for v, _ in members)
+        assert sum(c for _, c in members) == 1
