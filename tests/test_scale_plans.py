@@ -379,3 +379,20 @@ def test_training_ops_plan_shapes(spark):
     spans = _explain(QUERIES["dedup_repeated_ngram_spans"](spark, sf), "simple")
     assert "CartesianProduct" not in spans, spans
     assert "BroadcastNestedLoopJoin" not in spans, spans
+
+
+def test_kmeans_refine_broadcasts_centroids(spark):
+    """`ann_ivf_kmeans_refine`'s two assignment half-iterations each join
+    the long-form vectors against a ≤ k·dims centroid table — both must
+    compile as BroadcastHashJoins (the centroid side is tiny by
+    construction), and nothing in the plan may fall back to a cartesian or
+    nested-loop product."""
+    from logtemplatecrawler_spark.plans.harness import QUERIES
+
+    plan = _explain(
+        QUERIES["ann_ivf_kmeans_refine"](spark, "/root/testdata/sf0.001"),
+        "simple",
+    )
+    assert plan.count("BroadcastHashJoin") >= 2, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
