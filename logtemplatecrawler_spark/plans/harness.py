@@ -1375,16 +1375,35 @@ def ann_lsh_bucket_search(spark, sf_dir):
     )
 
 
-def _ivf_search_sql(nprobe: int) -> str:
-    """DuckDB twin of the IVF search, parameterized by probe width."""
+def _ivf_search_sql(nprobe: int, trained: bool = False) -> str:
+    """DuckDB twin of the IVF search, parameterized by probe width and by
+    whether the codebook is the raw seed (mod-8 means) or the Lloyd-refined
+    one (`trained=True` — the `ann_ivf_kmeans_refine` chain)."""
+    if trained:
+        cents_cte = """cents0 AS (
+      SELECT vec_id % 8 AS k, i, avg(x) AS c FROM flat GROUP BY 1, 2
+    ), tr_d0 AS (
+      SELECT f.vec_id, c.k, sum((f.x - c.c) * (f.x - c.c)) AS d2
+      FROM flat f JOIN cents0 c ON f.i = c.i GROUP BY 1, 2
+    ), tr_a0 AS (
+      SELECT vec_id, k AS k0 FROM (
+        SELECT vec_id, k, row_number() OVER (
+          PARTITION BY vec_id ORDER BY round(d2, 6), k) AS rn
+        FROM tr_d0) WHERE rn = 1
+    ), cents AS (
+      SELECT tr_a0.k0 AS k, f.i, avg(f.x) AS c
+      FROM flat f JOIN tr_a0 ON tr_a0.vec_id = f.vec_id GROUP BY 1, 2
+    )"""
+    else:
+        cents_cte = """cents AS (
+      SELECT vec_id % 8 AS k, i, avg(x) AS c FROM flat GROUP BY 1, 2
+    )"""
     return f"""
     WITH flat AS (
       SELECT vec_id, generate_subscripts(embedding, 1) AS i,
              CAST(unnest(embedding) AS DOUBLE) AS x
       FROM embeddings
-    ), cents AS (
-      SELECT vec_id % 8 AS k, i, avg(x) AS c FROM flat GROUP BY 1, 2
-    ), dists AS (
+    ), {cents_cte}, dists AS (
       SELECT f.vec_id, c.k, sum((f.x - c.c) * (f.x - c.c)) AS d2
       FROM flat f JOIN cents c ON f.i = c.i
       GROUP BY 1, 2
@@ -1414,10 +1433,12 @@ def _ivf_search_sql(nprobe: int) -> str:
 """
 
 
-def _ivf_search(spark, sf_dir, nprobe: int):
+def _ivf_search(spark, sf_dir, nprobe: int, trained: bool = False):
     """IVF search, probe width ``nprobe``: the query probes its ``nprobe``
     nearest centroids' cells and exact-cosine ranks only those cells'
-    vectors (each vector belongs to its rn=1 cell)."""
+    vectors (each vector belongs to its rn=1 cell).  With ``trained=True``
+    the codebook is the Lloyd-refined one (one `ann_ivf_kmeans_refine`
+    step) instead of the raw seed means — the train→serve composition."""
     emb = _t(spark, sf_dir, "embeddings")
     flat = emb.select(
         "vec_id", F.posexplode("embedding").alias("i", "xf")
@@ -1425,6 +1446,13 @@ def _ivf_search(spark, sf_dir, nprobe: int):
     cents = flat.groupBy((F.col("vec_id") % 8).alias("k"), "i").agg(
         F.avg("x").alias("c")
     )
+    if trained:
+        a0 = _assign_nearest(flat, cents, "k0")
+        cents = (
+            flat.join(a0, "vec_id")
+            .groupBy(F.col("k0").alias("k"), "i")
+            .agg(F.avg("x").alias("c"))
+        )
     dists = (
         flat.join(F.broadcast(cents), "i")
         .groupBy("vec_id", "k")
@@ -1477,6 +1505,19 @@ def ann_ivf_search(spark, sf_dir):
     coarse-quantizer counterpart of `ann_lsh_bucket_search` (at scale the
     cells are the partition keys, so a probe is a partition-pruned scan)."""
     return _ivf_search(spark, sf_dir, nprobe=1)
+
+
+@_q("ann_ivf_search_trained", sql=_ivf_search_sql(1, trained=True))
+def ann_ivf_search_trained(spark, sf_dir):
+    """IVF train→serve composition: the probe-1 search runs against the
+    Lloyd-REFINED codebook (`ann_ivf_kmeans_refine`'s one training step)
+    instead of the raw seed means — cells are tighter, so the probed cell
+    is likelier to hold the true neighbors.  At scale the trained centroids
+    are a tiny broadcast table fit offline over a corpus sample; serving is
+    unchanged (partition-pruned cell reads).  The SQL twin regenerates the
+    same chain from the same constants, so the hash pins training AND
+    serving together."""
+    return _ivf_search(spark, sf_dir, nprobe=1, trained=True)
 
 
 @_q("ann_ivf_search_nprobe2", sql=_ivf_search_sql(2))

@@ -196,6 +196,11 @@ def test_multiprobe_recall_monotone(spark):
     assert lsh5 >= lsh1
     assert ivf2 >= ivf1
     assert lsh5 > 0 and ivf2 > 0  # the probes actually find true neighbors
+    # the Lloyd-trained codebook changes cell boundaries, so its recall is
+    # not ordered vs the seed codebook — but a trained probe must still
+    # surface true neighbors (a recall-0 result would mean training broke
+    # the cell containing the query's neighborhood)
+    assert recall("ann_ivf_search_trained") > 0
 
 
 def test_connected_components_one_job_per_iteration(spark):
