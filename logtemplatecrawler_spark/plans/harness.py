@@ -1738,11 +1738,12 @@ def dedup_cluster_canonical(spark, sf_dir):
     )
 
 
-def _lsh_cluster_sql() -> str:
-    """DuckDB twin of the COMPOSED dedup path, generated from the same
+def _lsh_cluster_cte() -> str:
+    """CTE chain of the COMPOSED dedup path, generated from the same
     (coefficients, bands, rows, threshold) constants as the Spark plan:
     tuned-LSH candidate pairs → exact bigram-shingle Jaccard verify →
-    recursive-CTE transitive closure."""
+    recursive-CTE transitive closure, ending in a ``labels`` CTE.  Shared
+    by `dedup_lsh_cluster_canonical` and the curation pipeline."""
     from logtemplatecrawler_spark.operators.minhash import (
         lsh_banding, minhash_coefficients,
     )
@@ -1784,10 +1785,18 @@ def _lsh_cluster_sql() -> str:
       SELECT doc_id AS src, doc_id AS dst FROM nodes
       UNION
       SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
-    )
-    SELECT src AS doc_id, min(dst) AS cluster_id,
-           (src = min(dst)) AS is_canonical
-    FROM reach GROUP BY src
+    ), labels AS (
+      SELECT src AS doc_id, min(dst) AS cluster_id,
+             (src = min(dst)) AS is_canonical
+      FROM reach GROUP BY src
+    )"""
+
+
+def _lsh_cluster_sql() -> str:
+    """DuckDB twin of the composed dedup path: the shared CTE chain
+    (`_lsh_cluster_cte`) projected as the labels table."""
+    return _lsh_cluster_cte() + """
+    SELECT doc_id, cluster_id, is_canonical FROM labels
 """
 
 
@@ -1809,6 +1818,13 @@ def dedup_lsh_cluster_canonical(spark, sf_dir):
     The DuckDB twin is generated from the same constants and closes the
     same verified edges with a recursive CTE, so the hash pins the whole
     composition, not just the stages."""
+    return _lsh_cluster_labels(spark, sf_dir)
+
+
+def _lsh_cluster_labels(spark, sf_dir):
+    """Spark twin of `_lsh_cluster_cte`: (doc_id, cluster_id, is_canonical)
+    for every document via tuned-LSH candidates → exact shingle-Jaccard
+    verify → connected components."""
     from logtemplatecrawler_spark.operators.components import (
         connected_components,
     )
@@ -1847,6 +1863,66 @@ def dedup_lsh_cluster_canonical(spark, sf_dir):
     labels, _ = connected_components(nodes, verified)
     return labels.withColumn(
         "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
+
+
+@_q("curation_export_pipeline", sql=_lsh_cluster_cte() + """, quality AS (
+      SELECT doc_id, lang, n_chars,
+             CAST(length(text) - length(replace(text, ' ', '')) + 1
+                  AS BIGINT) AS tok_count,
+             CAST(n_chars AS DOUBLE) /
+               (length(text) - length(replace(text, ' ', '')) + 1) AS avg_tok,
+             min(doc_id) OVER (PARTITION BY md5(text)) AS keeper
+      FROM documents
+    )
+    SELECT q.doc_id, q.lang, q.n_chars, q.tok_count
+    FROM quality q JOIN labels l ON l.doc_id = q.doc_id AND l.is_canonical
+    WHERE q.tok_count >= 5 AND q.avg_tok >= 2 AND q.avg_tok <= 12
+      AND q.doc_id = q.keeper
+      AND (q.doc_id * 2654435761) % 10 < 3
+""")
+def curation_export_pipeline(spark, sf_dir):
+    """The end-to-end training-data CURATION query — the composition a
+    100 TB export actually runs, in one driver-hashed entry:
+
+    1. quality gate (native arithmetic: token count ≥ 5, average token
+       length in [2, 12] — the `text_quality_score` heuristics as filters);
+    2. exact dedup keep-first (min doc_id per md5(text) group);
+    3. near-dup canonical keep via the composed LSH pipeline
+       (`_lsh_cluster_labels`: tuned-LSH → exact shingle-Jaccard verify →
+       connected components — only cluster canonicals survive);
+    4. deterministic Bernoulli-by-hash 30% sample (the `o3` hash-mod
+       device — independent of lang, so strata keep their proportions).
+
+    Plan shape: the cheap native gates (1, 2, 4) filter the documents scan
+    BEFORE the join against the heavy clustering labels, so the expensive
+    side joins against an already-thinned build side; at warehouse scale
+    the labels table is computed once per snapshot and reused by every
+    export.  The DuckDB twin shares the clustering CTE chain and states
+    gates (1)(2)(4) in SQL over the same constants."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    tok_count = F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1
+    avg_tok = F.col("n_chars").cast("double") / tok_count
+    keeper = F.min("doc_id").over(Window.partitionBy(F.md5("text")))
+    thinned = (
+        docs.withColumn("tok_count", tok_count.cast("bigint"))
+        .withColumn("_avg_tok", avg_tok)
+        .withColumn("_keeper", keeper)
+        .where(
+            (F.col("tok_count") >= 5)
+            & (F.col("_avg_tok") >= 2) & (F.col("_avg_tok") <= 12)
+            & (F.col("doc_id") == F.col("_keeper"))
+            & ((F.col("doc_id") * 2654435761) % 10 < 3)
+        )
+    )
+    canon = (
+        _lsh_cluster_labels(spark, sf_dir)
+        .where(F.col("is_canonical"))
+        .select("doc_id")
+    )
+    return thinned.join(canon, "doc_id").select(
+        "doc_id", "lang", "n_chars", "tok_count"
     )
 
 
