@@ -563,10 +563,12 @@ def dedup_lsh_pairs_tuned(spark, sf_dir):
     return _band_pairs(sigs, bands=bands, rows=rows)
 
 
-def _simhash_sql() -> str:
+def _simhash_cte() -> str:
     # Programmatically generated twin of the Spark aggregation below — the
     # same 60 per-bit sign-sums, built by the same loop (VERDICT r01 item 5:
     # a `no_oracle` row doesn't count as green, and the SQL IS generatable).
+    # Ends in a ``sims`` CTE so the signature computation is shared by the
+    # plain entry and the banded Hamming-pair entry.
     sums = ",\n           ".join(
         f"sum(CASE WHEN (hw >> {i}) & 1 = 1 THEN tf ELSE -tf END) AS s{i}"
         for i in range(60)
@@ -586,8 +588,14 @@ def _simhash_sql() -> str:
       SELECT doc_id,
            {sums}
       FROM hashed GROUP BY doc_id
-    )
-    SELECT doc_id, {bits} AS simhash FROM sums
+    ), sims AS (
+      SELECT doc_id, {bits} AS simhash FROM sums
+    )"""
+
+
+def _simhash_sql() -> str:
+    return _simhash_cte() + """
+    SELECT doc_id, simhash FROM sims
     """
 
 
@@ -597,6 +605,11 @@ def dedup_simhash(spark, sf_dir):
     weighted by term frequency.  60 bits keeps every intermediate inside a
     signed bigint under ANSI arithmetic in both engines; the DuckDB oracle
     is generated by the same loop that builds the Spark aggregates."""
+    return _simhash_frame(spark, sf_dir)
+
+
+def _simhash_frame(spark, sf_dir):
+    """Spark twin of `_simhash_cte`: (doc_id, simhash) per document."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
     tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
@@ -620,6 +633,130 @@ def dedup_simhash(spark, sf_dir):
         )
         sim = sim + bit * F.lit(2 ** i).cast("bigint")
     return sums.select("doc_id", sim.alias("simhash"))
+
+
+# 60-bit simhash split into 4 bands of 15 bits; by pigeonhole any pair at
+# Hamming distance ≤ bands-1 = 3 must agree on at least one whole band, so
+# banded candidate generation is EXACTLY complete at the τ=3 verify — no
+# recall loss, unlike probabilistic MinHash-LSH.
+_SIMHASH_BANDS = 4
+_SIMHASH_BAND_BITS = 15
+_SIMHASH_BAND_MASK = (1 << _SIMHASH_BAND_BITS) - 1
+_SIMHASH_HAMMING = _SIMHASH_BANDS - 1
+
+
+def _simhash_pairs_cte() -> str:
+    """Extend `_simhash_cte` with a ``spairs`` CTE holding the verified
+    (doc_a, doc_b, hamming) near-dup pairs — shared by the pairs entry and
+    the clustered composition below."""
+    conds = "\n        OR ".join(
+        f"((a.simhash >> {b * _SIMHASH_BAND_BITS}) & {_SIMHASH_BAND_MASK})"
+        f" = ((b.simhash >> {b * _SIMHASH_BAND_BITS}) & {_SIMHASH_BAND_MASK})"
+        for b in range(_SIMHASH_BANDS)
+    )
+    return _simhash_cte() + f""", cand AS (
+      SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM sims a JOIN sims b
+        ON a.doc_id < b.doc_id
+       AND ({conds})
+    ), spairs AS (
+      SELECT c.doc_a, c.doc_b,
+             CAST(bit_count(xor(sa.simhash, sb.simhash)) AS BIGINT) AS hamming
+      FROM cand c
+      JOIN sims sa ON sa.doc_id = c.doc_a
+      JOIN sims sb ON sb.doc_id = c.doc_b
+      WHERE bit_count(xor(sa.simhash, sb.simhash)) <= {_SIMHASH_HAMMING}
+    )"""
+
+
+def _simhash_pairs_sql() -> str:
+    return _simhash_pairs_cte() + """
+    SELECT doc_a, doc_b, hamming FROM spairs
+"""
+
+
+@_q("dedup_simhash_hamming_pairs", sql=_simhash_pairs_sql())
+def dedup_simhash_hamming_pairs(spark, sf_dir):
+    """SimHash near-dup PAIRS over the full documents table — the
+    detection step the signature entry feeds: band the 60-bit simhash into
+    4×15-bit keys, generate candidates by per-band equality self-joins
+    (never all-pairs), then verify by exact Hamming distance ≤ 3
+    (`bit_count(a XOR b)`).  The pigeonhole bound makes banded generation
+    EXACTLY complete at this threshold: ≤ 3 differing bits cannot touch
+    all 4 bands, so every qualifying pair shares a band key.  Signatures
+    are materialized once (localCheckpoint) and reused for banding and
+    verification; the SQL twin is generated from the same band/threshold
+    constants.  At 100 TB this is the simhash leg of the dedup family:
+    band keys are shuffle keys, the verify touches candidates only."""
+    return _simhash_pairs_frame(spark, sf_dir)
+
+
+def _simhash_pairs_frame(spark, sf_dir):
+    """Spark twin of `_simhash_pairs_cte`: verified (doc_a, doc_b, hamming)
+    simhash near-dup pairs via banded candidate generation."""
+    sims = _simhash_frame(spark, sf_dir).localCheckpoint()
+    a, b = sims.alias("a"), sims.alias("b")
+    cand = None
+    for band in range(_SIMHASH_BANDS):
+        key = lambda side: (
+            F.shiftright(F.col(f"{side}.simhash"), band * _SIMHASH_BAND_BITS)
+            .bitwiseAND(F.lit(_SIMHASH_BAND_MASK))
+        )
+        piece = (
+            a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
+                   & (key("a") == key("b")))
+            .select(F.col("a.doc_id").alias("doc_a"),
+                    F.col("b.doc_id").alias("doc_b"))
+        )
+        cand = piece if cand is None else cand.unionByName(piece)
+    cand = cand.distinct()
+    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
+    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
+    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint")
+    return (
+        cand.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("hamming", hamming)
+        .where(F.col("hamming") <= _SIMHASH_HAMMING)
+        .select("doc_a", "doc_b", "hamming")
+    )
+
+
+@_q("dedup_simhash_canonical", sql=f"""
+    {_simhash_pairs_cte().replace("WITH words", "WITH RECURSIVE words", 1)}, edges AS (
+      SELECT doc_a AS a, doc_b AS b FROM spairs
+      UNION ALL
+      SELECT doc_b AS a, doc_a AS b FROM spairs
+    ), reach AS (
+      SELECT doc_id AS src, doc_id AS dst FROM documents
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS doc_id, min(dst) AS cluster_id,
+           (src = min(dst)) AS is_canonical
+    FROM reach GROUP BY src
+""")
+def dedup_simhash_canonical(spark, sf_dir):
+    """SimHash near-dup DEDUP, composed end-to-end over the FULL documents
+    table: banded Hamming-≤3 pair generation (`_simhash_pairs_frame` —
+    exactly complete by pigeonhole, never all-pairs) → connected components
+    (operators/components.connected_components, the SAME clustering operator
+    the MinHash-LSH and embedding-cosine legs drive) → canonical min-doc_id
+    keeper.  Unlike those legs this one needs no bounded oracle slice: the
+    banded generator is exact, so the DuckDB twin is the same generated
+    pair CTE plus a recursive-closure components query over all documents.
+    At 100 TB: band keys shuffle, verify touches candidates, clustering
+    joins touch only edge endpoints — every stage is key-bucketed."""
+    from logtemplatecrawler_spark.operators.components import (
+        connected_components,
+    )
+
+    pairs = _simhash_pairs_frame(spark, sf_dir).select("doc_a", "doc_b")
+    nodes = _t(spark, sf_dir, "documents").select("doc_id")
+    labels, _ = connected_components(nodes, pairs, id_col="doc_id")
+    return labels.withColumn(
+        "is_canonical", F.col("doc_id") == F.col("cluster_id")
+    )
 
 
 # ---------------------------------------------------------------------------

@@ -301,3 +301,32 @@ def test_embedding_cluster_consistency(spark):
     for cid, members in clusters.items():
         assert cid == min(v for v, _ in members)
         assert sum(c for _, c in members) == 1
+
+
+def test_simhash_banding_exactly_complete(spark):
+    """The banded simhash pair generator must equal brute-force all-pairs
+    Hamming ≤ 3 — the pigeonhole claim (4 bands of 15 bits; ≤ 3 differing
+    bits cannot touch all 4 bands) made in `dedup_simhash_hamming_pairs`.
+    The DuckDB oracle uses the SAME banding constants, so this test is the
+    independent completeness check the hash-compare cannot provide."""
+    from logtemplatecrawler_spark.plans.harness import (
+        _SIMHASH_HAMMING, _simhash_frame,
+    )
+
+    sims = {
+        r["doc_id"]: r["simhash"]
+        for r in _simhash_frame(spark, SF_DIR).collect()
+    }
+    ids = sorted(sims)
+    brute = {
+        (a, b)
+        for i, a in enumerate(ids)
+        for b in ids[i + 1:]
+        if bin(sims[a] ^ sims[b]).count("1") <= _SIMHASH_HAMMING
+    }
+    banded = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_simhash_hamming_pairs"](spark, SF_DIR).collect()
+    }
+    assert brute, "fixture corpus must contain simhash near-dups"
+    assert banded == brute
