@@ -396,3 +396,22 @@ def test_kmeans_refine_broadcasts_centroids(spark):
     assert plan.count("BroadcastHashJoin") >= 2, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_simhash_pairs_plan_shape(spark):
+    """`dedup_simhash_hamming_pairs` must generate candidates by band-key
+    EQUI-joins (hash or sort-merge on the shifted band key), never a
+    cartesian or nested-loop product, and the signature table feeding all
+    four band joins plus the verify must be the one materialized scan
+    (localCheckpoint), not four recomputations of the explode+agg tree."""
+    from logtemplatecrawler_spark.plans.harness import QUERIES
+
+    df = QUERIES["dedup_simhash_hamming_pairs"](spark, "/root/testdata/sf0.001")
+    plan = _explain(df, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+    # 4 band joins + 2 verify joins, all equi-joins over the checkpointed
+    # signatures: the explode/agg pipeline (posexplode of the text split)
+    # must not appear in the final plan at all.
+    assert plan.count("Scan ExistingRDD") >= 1, plan
+    assert "Generate" not in plan, plan
