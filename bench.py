@@ -108,12 +108,25 @@ def main() -> None:
         "text_tfidf_topk",
         "dedup_repeated_ngram_spans",
     ]
+    # r5 tail additions: the train->serve ANN path, the embedding- and
+    # simhash-leg clustered dedups, and the end-to-end curation export.
+    # Also summed into `value_r5_suite` (BASELINE.md records both the
+    # 21-query and the current-definition totals).
+    headline_v4_extra = [
+        "ann_ivf_kmeans_refine",
+        "ann_ivf_search_trained",
+        "dedup_embedding_cosine_canonical",
+        "dedup_simhash_hamming_pairs",
+        "dedup_simhash_canonical",
+        "curation_export_pipeline",
+    ]
 
     def one_pass():
         t = {}
         t["template_pipeline"] = _run_thunk(lambda: extract_templates(pages, dedup=True))
         t["politeness_pop"] = _run_thunk(lambda: pop_per_host(frontier_like, budget=2))
-        for name in headline + headline_v2_extra + headline_v3_extra:
+        for name in (headline + headline_v2_extra + headline_v3_extra
+                     + headline_v4_extra):
             # construct INSIDE the timed region: query builders may
             # materialize eagerly (localCheckpoint'd index/signature
             # tables), and excluding that would silently flatter the
