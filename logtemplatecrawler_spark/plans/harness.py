@@ -563,6 +563,90 @@ def dedup_lsh_pairs_tuned(spark, sf_dir):
     return _band_pairs(sigs, bands=bands, rows=rows)
 
 
+# Mega-bucket cap: a band bucket with n members expands to n(n-1)/2
+# candidate pairs, so one boilerplate-heavy key (cookie banners, license
+# headers) with 10^6 members at 100 TB would emit 5·10^11 pairs from a
+# single task — the classic LSH skew failure.  Production dedup drops (or
+# samples) buckets above a cap and accepts the documented recall loss;
+# pairs dropped in one band can still surface via their other bands.
+# 4 keeps the fixture's one oversized bucket (8 members at sf0.001, 5 at
+# sf0.01) genuinely dropped so the hash check exercises the guard.
+_LSH_BUCKET_CAP = 4
+
+
+def _lsh_capped_sql() -> str:
+    from logtemplatecrawler_spark.operators.minhash import (
+        lsh_banding, minhash_coefficients,
+    )
+
+    coefs = minhash_coefficients(_TUNED_PERMS)
+    bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
+    ctes, unions = [], []
+    for band in range(bands):
+        keys = [f"mh{band * rows + j}" for j in range(rows)]
+        key_list = ", ".join(keys)
+        s_eq_c = " AND ".join(f"s.{k} = c.{k}" for k in keys)
+        a_eq_b = " AND ".join(f"a.{k} = b.{k}" for k in keys)
+        ctes.append(f"""ok{band} AS (
+      SELECT s.* FROM sigs s
+      JOIN (SELECT {key_list}, count(*) AS n FROM sigs
+            GROUP BY {key_list}) c ON {s_eq_c}
+      WHERE c.n <= {_LSH_BUCKET_CAP}
+    ), p{band} AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+      FROM ok{band} a JOIN ok{band} b
+        ON a.doc_id < b.doc_id AND {a_eq_b}
+    )""")
+        unions.append(f"SELECT doc_a, doc_b FROM p{band}")
+    return (_shingle_sig_sql(coefs) + ", " + ", ".join(ctes)
+            + "\n    SELECT DISTINCT doc_a, doc_b FROM ("
+            + " UNION ALL ".join(unions) + ")")
+
+
+@_q("dedup_lsh_pairs_capped", sql=_lsh_capped_sql())
+def dedup_lsh_pairs_capped(spark, sf_dir):
+    """Tuned LSH banding with a MEGA-BUCKET skew guard: per band, bucket
+    membership counts are computed over the band key (one window — the
+    count's shuffle partitioning is reused by the pair self-join on the
+    same key), buckets above `_LSH_BUCKET_CAP` members are dropped, and
+    only surviving buckets expand to candidate pairs.  This is the 100 TB
+    skew story for LSH dedup: without the cap, one boilerplate band key
+    holding 10^6 docs expands quadratically inside a single shuffle
+    partition; with it, per-task pair fan-out is bounded at
+    cap·(cap-1)/2 per bucket, at a documented recall cost (a pair dropped
+    from an oversized band can still qualify via its other bands — see
+    tests/test_harness.py::test_lsh_capped_subset).  The SQL twin is
+    generated from the same (coefficients, bands, rows, cap) constants."""
+    from pyspark.sql import Window
+    from logtemplatecrawler_spark.operators.minhash import (
+        lsh_banding, minhash_coefficients,
+    )
+
+    coefs = minhash_coefficients(_TUNED_PERMS)
+    bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
+    sigs = _minhash_sigs(spark, sf_dir, coefs).localCheckpoint()
+    out = None
+    for band in range(bands):
+        keys = [f"mh{band * rows + j}" for j in range(rows)]
+        ok = (
+            sigs.withColumn(
+                "_n", F.count("*").over(Window.partitionBy(*keys))
+            )
+            .where(F.col("_n") <= _LSH_BUCKET_CAP)
+        )
+        left = ok.select(F.col("doc_id").alias("doc_a"),
+                         *[F.col(k).alias(f"b{j}") for j, k in enumerate(keys)])
+        right = ok.select(F.col("doc_id").alias("doc_b"),
+                          *[F.col(k).alias(f"b{j}") for j, k in enumerate(keys)])
+        pairs = (
+            left.join(right, [f"b{j}" for j in range(rows)])
+            .where(F.col("doc_a") < F.col("doc_b"))
+            .select("doc_a", "doc_b")
+        )
+        out = pairs if out is None else out.unionByName(pairs)
+    return out.distinct()
+
+
 def _simhash_cte() -> str:
     # Programmatically generated twin of the Spark aggregation below — the
     # same 60 per-bit sign-sums, built by the same loop (VERDICT r01 item 5:

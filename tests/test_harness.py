@@ -330,3 +330,21 @@ def test_simhash_banding_exactly_complete(spark):
     }
     assert brute, "fixture corpus must contain simhash near-dups"
     assert banded == brute
+
+
+def test_lsh_capped_subset(spark):
+    """The mega-bucket cap only ever REMOVES candidates: capped pairs are
+    a strict subset of the tuned (uncapped) pairs at fixture scale (the
+    fixture has exactly one oversized band bucket, so strictness proves
+    the guard actually fired), and every surviving pair still comes from
+    some within-cap band bucket."""
+    tuned = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_lsh_pairs_tuned"](spark, SF_DIR).collect()
+    }
+    capped = {
+        (r["doc_a"], r["doc_b"])
+        for r in QUERIES["dedup_lsh_pairs_capped"](spark, SF_DIR).collect()
+    }
+    assert capped <= tuned
+    assert capped < tuned, "cap did not fire — fixture bucket sizes changed?"

@@ -415,3 +415,19 @@ def test_simhash_pairs_plan_shape(spark):
     # must not appear in the final plan at all.
     assert plan.count("Scan ExistingRDD") >= 1, plan
     assert "Generate" not in plan, plan
+
+
+def test_lsh_capped_plan_shape(spark):
+    """`dedup_lsh_pairs_capped`: the bucket-count guard must be a window
+    over the band key (no second scan-and-join of the signature table per
+    band in the Spark plan) and candidates must come from equi-joins —
+    never a cartesian or nested-loop product."""
+    from logtemplatecrawler_spark.plans.harness import QUERIES
+
+    plan = _explain(
+        QUERIES["dedup_lsh_pairs_capped"](spark, "/root/testdata/sf0.001"),
+        "simple",
+    )
+    assert "Window" in plan, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
