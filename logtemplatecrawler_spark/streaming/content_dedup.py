@@ -1,0 +1,125 @@
+"""Streaming content-level near-dup filter — the ONLINE analog of the
+batch simhash dedup leg (`plans/harness.py::dedup_simhash_canonical`).
+
+Semantics (deterministic, order-defined): a document is flagged as a
+near-duplicate iff some EARLIER document — an earlier micro-batch, or the
+same batch with a smaller ``doc_id`` — lies within Hamming distance
+``SIMHASH_HAMMING`` (3) of its 60-bit simhash.  "Earlier" includes docs
+that were themselves flagged, so a chain A←B←C dedups against its chain
+head in arrival order (the streaming counterpart of the batch
+connected-components canonical keep, restricted to edges that point
+backwards in time — the only edges an online filter can see).
+
+Exactness: the state is keyed by the signature's 4×15-bit band keys and
+every SEEN signature is recorded in all four of its band buckets, so by
+pigeonhole any earlier doc within Hamming ≤ 3 shares at least one bucket
+with the probe and is found by the exact-Hamming check there — no recall
+loss vs a hypothetical all-pairs scan (same argument as the batch banded
+pair generator, ``dedup_simhash_hamming_pairs``).
+
+Shape: one `applyInPandasWithState` keyed by ``(band, band_key)`` — band
+keys are the shuffle keys (bounded per-bucket state, hot buckets are the
+same boilerplate-skew story as batch LSH and can be capped the same way);
+the per-doc verdict is the OR of its four band verdicts, resolved by the
+batch-side ``near_dup_verdicts`` over the sink table (keeps the streaming
+query single-stateful — a second stateful aggregation in append mode
+would force watermark/window machinery onto an unbounded dedup).
+
+At 100 TB scale the state grows O(4·|docs|); production deployments bound
+it with state TTL (GroupStateTimeout) or periodic compaction against the
+batch canonical table — both knobs documented rather than silently
+applied, since either one trades away the exactness above.
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, Iterator, Tuple
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+from logtemplatecrawler_spark.operators.simhash import (
+    SIMHASH_BANDS,
+    SIMHASH_BAND_BITS,
+    SIMHASH_BAND_MASK,
+    SIMHASH_HAMMING,
+    simhash60,
+)
+
+_FLAGS_OUT_SCHEMA = "doc_id bigint, is_dup_in_band boolean"
+_FLAGS_STATE_SCHEMA = "sigs array<bigint>"
+
+
+def _flag_fn(hamming: int):
+    def fn(key: Tuple[int, int], batches: Iterable[pd.DataFrame],
+           state: GroupState) -> Iterator[pd.DataFrame]:
+        sigs = list(state.get[0]) if state.exists else []
+        ids, dups = [], []
+        for pdf in batches:
+            # smaller doc_id = "earlier" within a batch — the SAME
+            # convention in every band bucket, so the four per-band
+            # verdicts for one doc describe one consistent arrival order.
+            pdf = pdf.sort_values("doc_id")
+            for did, sig in zip(pdf["doc_id"], pdf["simhash"]):
+                sig = int(sig)
+                ids.append(int(did))
+                dups.append(
+                    any(bin(sig ^ s).count("1") <= hamming for s in sigs)
+                )
+                sigs.append(sig)
+        state.update((sigs,))
+        yield pd.DataFrame({"doc_id": ids, "is_dup_in_band": dups})
+
+    return fn
+
+
+def streaming_near_dup_flags(doc_stream: DataFrame,
+                             hamming: int = SIMHASH_HAMMING) -> DataFrame:
+    """(doc_id, text) stream → (doc_id, is_dup_in_band) per band bucket.
+
+    A doc appears once per band (4 rows); resolve with
+    ``near_dup_verdicts`` on the sink table.  The simhash is computed by
+    an Arrow-batched pandas UDF (`operators/simhash.simhash60` — pinned
+    bit-identical to the batch aggregation), then exploded to its four
+    band keys with native column ops.
+    """
+    sim_udf = F.pandas_udf(
+        lambda texts: texts.map(simhash60), "bigint"
+    )
+    keyed = (
+        doc_stream.select("doc_id", sim_udf(F.col("text")).alias("simhash"))
+        .select(
+            "doc_id", "simhash",
+            F.explode(
+                F.array(*[
+                    F.struct(
+                        F.lit(b).alias("band"),
+                        F.shiftright(F.col("simhash"), b * SIMHASH_BAND_BITS)
+                        .bitwiseAND(F.lit(SIMHASH_BAND_MASK))
+                        .alias("band_key"),
+                    )
+                    for b in range(SIMHASH_BANDS)
+                ])
+            ).alias("bk"),
+        )
+        .select("doc_id", "simhash", "bk.band", "bk.band_key")
+    )
+    return keyed.groupBy("band", "band_key").applyInPandasWithState(
+        _flag_fn(hamming),
+        outputStructType=_FLAGS_OUT_SCHEMA,
+        stateStructType=_FLAGS_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+def near_dup_verdicts(flags: DataFrame) -> DataFrame:
+    """Batch resolver over the flags sink: (doc_id, near_dup) where
+    ``near_dup`` = flagged in ANY band; ``NOT near_dup`` = the doc was the
+    first arrival of its neighborhood and should be admitted."""
+    return flags.groupBy("doc_id").agg(
+        F.max(F.col("is_dup_in_band").cast("int")).cast("boolean")
+        .alias("near_dup")
+    )

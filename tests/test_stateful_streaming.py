@@ -68,3 +68,89 @@ def test_streaming_host_budget_cumulative(spark, tmp_path):
     _drain(streaming_host_budget(stream, budget=4), out, ckpt)
     h1 = [r["url"] for r in spark.read.parquet(out).collect() if "h1.org" in r["url"]]
     assert len(h1) == 4  # 3 from batch 0 + only 1 more allowed
+
+
+def test_simhash60_matches_batch_frame(spark):
+    """The pure-Python simhash (streaming leg) must be bit-identical to
+    the batch DataFrame aggregation (`_simhash_frame`) on every fixture
+    document — one signature space across batch and streaming dedup."""
+    from logtemplatecrawler_spark.operators.simhash import simhash60
+    from logtemplatecrawler_spark.plans.harness import _simhash_frame
+
+    sf = os.environ.get("HARNESS_SF_DIR", "/root/testdata/sf0.001")
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    }
+    batch = {
+        r["doc_id"]: r["simhash"] for r in _simhash_frame(spark, sf).collect()
+    }
+    assert len(batch) == len(docs)
+    for did, text in docs.items():
+        assert simhash60(text) == batch[did], did
+
+
+def test_streaming_near_dup_matches_online_oracle(spark, tmp_path):
+    """Two micro-batches of fixture docs (plus injected exact dups) through
+    `streaming_near_dup_flags` with a persistent checkpoint: the resolved
+    verdicts must equal the brute-force online oracle — doc D is a near-dup
+    iff some earlier doc (previous batch, or same batch with smaller
+    doc_id) is within Hamming <= 3 — including chain cases where the
+    earlier doc was itself flagged."""
+    from logtemplatecrawler_spark.operators.simhash import (
+        SIMHASH_HAMMING, simhash60,
+    )
+    from logtemplatecrawler_spark.streaming.content_dedup import (
+        near_dup_verdicts, streaming_near_dup_flags,
+    )
+
+    sf = os.environ.get("HARNESS_SF_DIR", "/root/testdata/sf0.001")
+    fixture = sorted(
+        (r["doc_id"], r["text"])
+        for r in spark.read.parquet(f"{sf}/documents.parquet")
+        .where("doc_id < 80").collect()
+    )
+    # inject exact duplicates (hamming 0): one cross-batch, one in-batch,
+    # and a chain C(id=9001)~B(id=9000)~A(id=40) where B is itself a dup
+    batch0 = fixture[:40] + [(9000, fixture[20][1])]
+    batch1 = fixture[40:] + [(9001, fixture[20][1]), (9002, fixture[50][1])]
+
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+
+    def write_batch(idx, rows):
+        df = spark.createDataFrame(rows, "doc_id bigint, text string")
+        df.coalesce(1).write.mode("overwrite").parquet(f"{src}/b{idx}")
+        for f in os.listdir(f"{src}/b{idx}"):
+            if f.endswith(".parquet"):
+                os.rename(f"{src}/b{idx}/{f}", f"{src}/batch{idx}.parquet")
+
+    def drain():
+        stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+        _drain(streaming_near_dup_flags(stream), out, ckpt)
+
+    write_batch(0, batch0)
+    drain()
+    write_batch(1, batch1)
+    drain()
+
+    got = {
+        r["doc_id"]: r["near_dup"]
+        for r in near_dup_verdicts(spark.read.parquet(out)).collect()
+    }
+
+    # online oracle: same order convention (batch index, then doc_id)
+    seen = []
+    expected = {}
+    for batch in (sorted(batch0), sorted(batch1)):
+        for did, text in batch:
+            sig = simhash60(text)
+            expected[did] = any(
+                bin(sig ^ s).count("1") <= SIMHASH_HAMMING for s in seen
+            )
+            seen.append(sig)
+
+    assert got == expected
+    assert expected[9000] and expected[9001] and expected[9002]
+    assert sum(expected.values()) >= 3
