@@ -120,13 +120,22 @@ def main() -> None:
         "dedup_simhash_canonical",
         "curation_export_pipeline",
     ]
+    # r5 wave-3 additions: IVF-PQ serving (codes + ADC), winnowing near-dup
+    # pairs, and the engine seed-ingest/canonicalize path.  Summed ONLY into
+    # `value_r5w3_suite` so `value`, `value_full_suite`, and the 27-query
+    # `value_r5_suite` all stay cross-round comparable.
+    headline_v5_extra = [
+        "ann_ivfpq_search",
+        "dedup_winnow_pairs",
+        "crawl_seed_ingest_canonicalize",
+    ]
 
     def one_pass():
         t = {}
         t["template_pipeline"] = _run_thunk(lambda: extract_templates(pages, dedup=True))
         t["politeness_pop"] = _run_thunk(lambda: pop_per_host(frontier_like, budget=2))
         for name in (headline + headline_v2_extra + headline_v3_extra
-                     + headline_v4_extra):
+                     + headline_v4_extra + headline_v5_extra):
             # construct INSIDE the timed region: query builders may
             # materialize eagerly (localCheckpoint'd index/signature
             # tables), and excluding that would silently flatter the
@@ -134,8 +143,9 @@ def main() -> None:
             t[name] = _run_thunk(lambda n=name: harness.QUERIES[n](spark, sf_dir))
         old_set = ["template_pipeline", "politeness_pop"] + headline
         v2_set = old_set + headline_v2_extra
+        r5_set = v2_set + headline_v3_extra + headline_v4_extra
         return (t, sum(t[k] for k in old_set), sum(t[k] for k in v2_set),
-                sum(t.values()))
+                sum(t[k] for k in r5_set), sum(t.values()))
 
     # Min-of-N: this VM's CPU steal arrives in multi-second bursts that
     # evade /proc/stat (BASELINE.md), so a single-pass number is a coin
@@ -146,13 +156,15 @@ def main() -> None:
     runs = []
     runs_full = []
     runs_r5 = []
+    runs_r5w3 = []
     per_query = []
     for _ in range(n_runs):
-        t, tot_old, tot_full, tot_r5 = one_pass()
+        t, tot_old, tot_full, tot_r5, tot_r5w3 = one_pass()
         per_query.append(t)
         runs.append(tot_old)
         runs_full.append(tot_full)
         runs_r5.append(tot_r5)
+        runs_r5w3.append(tot_r5w3)
     timings = {k: min(t[k] for t in per_query) for k in per_query[0]}
     total = min(runs)
 
@@ -165,9 +177,11 @@ def main() -> None:
         "queries": {k: round(v, 3) for k, v in timings.items()},
         "value_full_suite": round(min(runs_full), 3),
         "value_r5_suite": round(min(runs_r5), 3),
+        "value_r5w3_suite": round(min(runs_r5w3), 3),
         "runs_sec": [round(r, 3) for r in runs],
         "runs_full_sec": [round(r, 3) for r in runs_full],
         "runs_r5_sec": [round(r, 3) for r in runs_r5],
+        "runs_r5w3_sec": [round(r, 3) for r in runs_r5w3],
         "sf": sf,
         "bench_pages": n_pages,
         "pages_per_sec": round(n_pages / timings["template_pipeline"], 2),

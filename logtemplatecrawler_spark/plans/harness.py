@@ -2573,5 +2573,378 @@ def crawl_template_pipeline(spark, sf_dir):
     )
 
 
+# ---------------------------------------------------------------------------
+# Product quantization (r5 wave 3): the memory-compression half of
+# production ANN.  IVF (above) prunes WHICH vectors a query touches; PQ
+# compresses WHAT is stored per vector — M=8 round-robin subspaces, K=8
+# codes each, so a 768-dim float vector becomes 8 small ints (the classic
+# IVF-PQ split of Jégou et al., "Product Quantization for Nearest Neighbor
+# Search").  The codebook reuses the deterministic seed centroids
+# (`ann_ivf_assign`'s vec_id%8 means) restricted per subspace, so training
+# and both SQL twins share one constant set.  Subspaces are round-robin
+# (m = dim_index % 8) rather than contiguous blocks: dimension-permutation
+# PQ is standard (OPQ's trivial rotation) and the formulation is
+# dimension-count-independent on both engines.
+# ---------------------------------------------------------------------------
+
+_PQ_M = 8  # subspaces (codes per vector)
+
+
+def _pq_flat_cents(spark, sf_dir):
+    """Long-form vectors + the shared deterministic codebook.
+    Same seed-centroid device as `ann_ivf_assign` (vec_id%8 means)."""
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    cents = flat.groupBy((F.col("vec_id") % 8).alias("k"), "i").agg(
+        F.avg("x").alias("c")
+    )
+    return flat, cents
+
+
+def _pq_codes(flat, cents):
+    """Encode: per (vector, subspace) the nearest sub-centroid's id.
+    Distances rounded before the argmin (ties by k) — the cross-engine
+    stability device used by every centroid entry in this file."""
+    subdist = (
+        flat.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", (F.col("i") % _PQ_M).alias("m"), "k")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id", "m").orderBy(F.round("d2", 6), F.col("k"))
+    return (
+        subdist.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select(
+            "vec_id",
+            F.col("m").cast("bigint").alias("m"),
+            F.col("k").cast("bigint").alias("code"),
+        )
+    )
+
+
+_PQ_CODES_CTES = """flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id % 8 AS k, i, avg(x) AS c FROM flat GROUP BY 1, 2
+    ), subdist AS (
+      SELECT f.vec_id, (f.i - 1) % 8 AS m, c.k,
+             sum((f.x - c.c) * (f.x - c.c)) AS d2
+      FROM flat f JOIN cents c ON f.i = c.i
+      GROUP BY 1, 2, 3
+    ), codes AS (
+      SELECT vec_id, CAST(m AS BIGINT) AS m, CAST(code AS BIGINT) AS code
+      FROM (
+        SELECT vec_id, m, k AS code, row_number() OVER (
+          PARTITION BY vec_id, m ORDER BY round(d2, 6), k) AS rn
+        FROM subdist) WHERE rn = 1
+    )"""
+
+
+@_q("ann_pq_encode", sql=f"""
+    WITH {_PQ_CODES_CTES}
+    SELECT vec_id, m, code FROM codes
+""")
+def ann_pq_encode(spark, sf_dir):
+    """PQ encoding: every vector becomes M=8 sub-centroid ids — the compact
+    codes table that replaces raw vectors on the ANN serving path (768
+    floats → 8 small ints; at 10^10 vectors that is the difference between
+    30 TB of floats and ~80 GB of codes).  Encode cost is one broadcast
+    join (codebook ≤ K·dims rows) + one groupBy over the long-form vectors
+    + a per-(vector,subspace) argmin window — embarrassingly parallel, no
+    all-pairs product.  DuckDB twin regenerates the identical codes from
+    the same constants (subspace = dim index mod 8, codebook = vec_id%8
+    means, round-then-argmin ties by k)."""
+    flat, cents = _pq_flat_cents(spark, sf_dir)
+    return _pq_codes(flat, cents)
+
+
+@_q("ann_ivfpq_search", sql=f"""
+    WITH {_PQ_CODES_CTES}, dists AS (
+      SELECT f.vec_id, c.k, sum((f.x - c.c) * (f.x - c.c)) AS d2
+      FROM flat f JOIN cents c ON f.i = c.i GROUP BY 1, 2
+    ), assign AS (
+      SELECT vec_id, k, row_number() OVER (
+        PARTITION BY vec_id ORDER BY round(d2, 6), k) AS rn
+      FROM dists
+    ), probe AS (SELECT k FROM assign WHERE vec_id = 0 AND rn = 1),
+    cand AS (
+      SELECT a.vec_id FROM assign a JOIN probe ON a.k = probe.k
+      WHERE a.rn = 1 AND a.vec_id <> 0
+    ), qe AS (SELECT i, x AS qv FROM flat WHERE vec_id = 0),
+    lut AS (
+      SELECT (qe.i - 1) % 8 AS m, c.k, sum((qe.qv - c.c) * (qe.qv - c.c)) AS ld2
+      FROM qe JOIN cents c ON qe.i = c.i GROUP BY 1, 2
+    ), adc AS (
+      SELECT codes.vec_id, sum(lut.ld2) AS adc
+      FROM codes JOIN cand ON codes.vec_id = cand.vec_id
+      JOIN lut ON lut.m = codes.m AND lut.k = codes.code
+      GROUP BY 1
+    )
+    SELECT vec_id, round(adc, 6) AS adc FROM adc
+    ORDER BY round(adc, 6), vec_id LIMIT 10
+""")
+def ann_ivfpq_search(spark, sf_dir):
+    """IVF-PQ search — the full production ANN serving shape in one entry:
+    the query (vec_id 0) probes its nearest coarse cell (IVF, probe-1),
+    and the cell's candidates are ranked by ASYMMETRIC DISTANCE (ADC): a
+    per-query lookup table LUT[m][k] = ||q_m − c_{m,k}||² (M·K = 64 tiny
+    rows, one broadcast) joined against the candidates' precomputed PQ
+    codes — the scan never touches a raw vector, only (vec_id, m, code)
+    rows.  At 100 TB: cells are partition keys (pruned read), codes are
+    the only per-vector payload, and the LUT join is a broadcast hash join
+    against a 64-row table.  Top-10 by rounded ADC, ties by vec_id; exact
+    recall vs `ann_cosine_topk` is property-tested (non-residual PQ over
+    near-orthogonal fixtures is coarse — the test pins the numpy-oracle
+    equivalence and the plumbing, not retrieval quality)."""
+    flat, cents = _pq_flat_cents(spark, sf_dir)
+    codes = _pq_codes(flat, cents)
+    # coarse assignment (same shape as `ann_ivf_search` probe-1)
+    dists = (
+        flat.join(F.broadcast(cents), "i")
+        .groupBy("vec_id", "k")
+        .agg(F.sum((F.col("x") - F.col("c")) * (F.col("x") - F.col("c"))).alias("d2"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.round("d2", 6), F.col("k"))
+    assign = (
+        dists.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .localCheckpoint()  # the IVF index: built once, probed twice below
+    )
+    probe = assign.where(F.col("vec_id") == 0).select(F.col("k").alias("pk"))
+    cand = (
+        assign.join(F.broadcast(probe), F.col("k") == F.col("pk"))
+        .where(F.col("vec_id") != 0)
+        .select("vec_id")
+    )
+    qe = flat.where(F.col("vec_id") == 0).select("i", F.col("x").alias("qv"))
+    lut = (
+        qe.join(F.broadcast(cents), "i")
+        .groupBy((F.col("i") % _PQ_M).cast("bigint").alias("m"), "k")
+        .agg(F.sum((F.col("qv") - F.col("c")) * (F.col("qv") - F.col("c"))).alias("ld2"))
+        .select("m", F.col("k").cast("bigint").alias("code"), "ld2")
+    )
+    adc = (
+        codes.join(cand, "vec_id")
+        .join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("ld2").alias("adc"))
+    )
+    return (
+        adc.select("vec_id", F.round("adc", 6).alias("adc"))
+        .orderBy("adc", "vec_id")
+        .limit(10)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Winnowing fingerprints (r5 wave 3): Schleimer/Wilkerson/Aiken's MOSS
+# selection rule — hash every k-gram, slide a w-hash window, keep each
+# window's minimum.  Guarantees any shared substring of length ≥ k+w−1
+# yields a shared fingerprint while keeping density ≈ 2/(w+1): the
+# standard scalable document-fingerprint for fuzzy dedup of code/text.
+# ---------------------------------------------------------------------------
+
+_WINNOW_K = 8   # gram length (chars)
+_WINNOW_W = 16  # window length (hashes)
+
+_WINNOW_FPS_CTE = f"""docs AS (
+      SELECT doc_id, text FROM documents
+      WHERE doc_id < 200 AND length(text) >= {_WINNOW_K + _WINNOW_W - 1}
+    ), hashes AS (
+      SELECT doc_id, p,
+             substr(md5(substr(text, CAST(p AS INT), {_WINNOW_K})), 1, 8) AS h,
+             length(text) - {_WINNOW_K - 1} AS nh
+      FROM docs, unnest(range(1, length(text) - {_WINNOW_K - 2})) AS u(p)
+    ), wins AS (
+      SELECT doc_id, p, nh,
+             min(h) OVER (PARTITION BY doc_id ORDER BY p
+                          ROWS BETWEEN CURRENT ROW AND {_WINNOW_W - 1} FOLLOWING) AS fp
+      FROM hashes
+    ), fps AS (
+      SELECT DISTINCT doc_id, fp FROM wins WHERE p <= nh - {_WINNOW_W - 1}
+    )"""
+
+
+def _winnow_fps(spark, sf_dir):
+    """Spark twin of ``_WINNOW_FPS_CTE``: distinct (doc_id, fp) rows."""
+    k, w = _WINNOW_K, _WINNOW_W
+    docs = _t(spark, sf_dir, "documents").where(
+        (F.col("doc_id") < 200) & (F.length("text") >= k + w - 1)
+    )
+    hashes = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(1), F.length("text") - (k - 1))).alias("p"),
+        (F.length("text") - (k - 1)).alias("nh"),
+        "text",
+    ).select(
+        "doc_id", "p", "nh",
+        F.substring(F.md5(F.expr(f"substring(text, p, {k})")), 1, 8).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("p").rowsBetween(
+        Window.currentRow, w - 1
+    )
+    return (
+        hashes.withColumn("fp", F.min("h").over(win))
+        .where(F.col("p") <= F.col("nh") - (w - 1))
+        .select("doc_id", "fp")
+        .distinct()
+    )
+
+
+@_q("text_winnow_fingerprint", sql=f"""
+    WITH {_WINNOW_FPS_CTE}
+    SELECT doc_id, fp FROM fps
+""")
+def text_winnow_fingerprint(spark, sf_dir):
+    """Winnowing fingerprints per document (k={_WINNOW_K} char grams,
+    w={_WINNOW_W} hash windows): ONE window-min pass over the per-doc
+    rolling hashes — no joins, no shuffle beyond the per-doc repartition,
+    density ≈ 2/(w+1) of the gram count.  This is the content-defined
+    selection that makes fuzzy dedup storage-proportional to ~12% of the
+    corpus grams instead of all of them.  Portable hashing via
+    md5 hex prefixes (both engines); lexicographic min over hex is
+    collation-safe ASCII."""
+    return _winnow_fps(spark, sf_dir)
+
+
+@_q("dedup_winnow_pairs", sql=f"""
+    WITH {_WINNOW_FPS_CTE}, sizes AS (
+      SELECT doc_id, count(*) AS n FROM fps GROUP BY doc_id
+    ), pairs AS (
+      SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS shared
+      FROM fps a JOIN fps b ON a.fp = b.fp AND a.doc_id < b.doc_id
+      GROUP BY 1, 2
+    )
+    SELECT p.doc_a, p.doc_b, p.shared,
+           round(p.shared * 1.0 / least(sa.n, sb.n), 6) AS overlap
+    FROM pairs p
+    JOIN sizes sa ON sa.doc_id = p.doc_a
+    JOIN sizes sb ON sb.doc_id = p.doc_b
+    WHERE p.shared * 1.0 / least(sa.n, sb.n) >= 0.5
+""")
+def dedup_winnow_pairs(spark, sf_dir):
+    """Fingerprint-overlap near-dup candidates: docs sharing ≥ 50% of the
+    smaller side's winnowed fingerprints.  The MOSS pair rule — containment
+    on the winnowed set, so a doc embedded inside a larger one still
+    scores 1.0 (Jaccard would dilute it).  At sf0.01 this selects exactly
+    the planted duplicate pairs at overlap 1.0 plus a thin 0.5-0.67 noise
+    band (word-salad fixtures share a tiny vocabulary).  Scale shape: the
+    equality self-join on fp is the LSH-band join shape; mega-fingerprint
+    buckets (boilerplate grams) get the same cap device as
+    `dedup_lsh_pairs_capped` before pair expansion."""
+    fps = _winnow_fps(spark, sf_dir).localCheckpoint()  # shared by 3 uses
+    sizes = fps.groupBy("doc_id").agg(F.count("*").alias("n"))
+    a, b = fps.alias("a"), fps.alias("b")
+    pairs = (
+        a.join(b, (F.col("a.fp") == F.col("b.fp"))
+               & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("shared"))
+    )
+    sa, sb = sizes.alias("sa"), sizes.alias("sb")
+    ov = F.col("shared") / F.least(F.col("sa.n"), F.col("sb.n"))
+    return (
+        pairs.join(sa, F.col("sa.doc_id") == F.col("doc_a"))
+        .join(sb, F.col("sb.doc_id") == F.col("doc_b"))
+        .where(ov >= 0.5)
+        .select("doc_a", "doc_b", "shared", F.round(ov, 6).alias("overlap"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Seed ingestion + URL canonicalization (r5 wave 3): driver-hash the
+# engine's ACTUAL canonicalizer and seed-collapse (crawl/frontier.py) the
+# way `crawl_frontier_mor` drives `merge_on_read` — previously pytest-only.
+# ---------------------------------------------------------------------------
+
+@_q("crawl_seed_ingest_canonicalize", sql="""
+    WITH raws AS (
+      SELECT CASE doc_id % 5
+        WHEN 0 THEN 'HTTP://Host' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.Example.COM/path/' || CAST(doc_id AS VARCHAR)
+        WHEN 1 THEN 'http://host' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.example.com:80/path/' || CAST(doc_id AS VARCHAR) || '/'
+        WHEN 2 THEN 'HTTPS://HOST' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.Example.COM:443/P/' || CAST(doc_id AS VARCHAR) || '#frag'
+        WHEN 3 THEN 'https://host' || CAST(doc_id % 40 AS VARCHAR)
+                    || '.example.com/p/' || CAST(doc_id AS VARCHAR) || '//'
+        ELSE 'http://HOST' || CAST((doc_id - 4) % 40 AS VARCHAR)
+             || '.example.com/path/' || CAST(doc_id - 4 AS VARCHAR)
+      END AS url, CAST(doc_id % 10 AS BIGINT) AS priority
+      FROM documents
+    ), nofrag AS (
+      SELECT regexp_replace(url, '#.*$', '') AS nf, priority FROM raws
+    ), joined AS (
+      SELECT regexp_replace(
+               lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)),
+               ':(80|443)$', '')
+             || regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS j,
+             priority
+      FROM nofrag
+    ), canon AS (
+      SELECT regexp_replace(j, '/+$', '') AS url, priority FROM joined
+    )
+    SELECT url,
+           regexp_extract(url, '^[a-z][a-z0-9+.-]*://([^/?#]*)', 1) AS host,
+           max(priority) AS priority,
+           CAST(0 AS BIGINT) AS depth, 'pending' AS state,
+           CAST(0 AS BIGINT) AS round_added, CAST(0 AS BIGINT) AS updated_round
+    FROM canon GROUP BY 1, 2
+""")
+def crawl_seed_ingest_canonicalize(spark, sf_dir):
+    """S1-adjacent seed ingestion through the ENGINE's
+    ``frontier_from_seeds`` (crawl/frontier.py:81-98 → with_frontier_keys →
+    canonicalize_url): messy seed URLs — mixed-case scheme/authority,
+    default :80/:443 ports, fragments, trailing-slash runs, and exact
+    duplicates under canonicalization with conflicting priorities — are
+    synthesized deterministically from ``documents`` and must land as the
+    canonical frontier rows with max-priority collapse (the reference's
+    stars/size admission heuristic, airflow/plugins/operators.py:112-116).
+    Variant 4 duplicates variant 0's canonical target (100 of 500 rows
+    collapse), and variant 2 pins that PATH case is preserved while the
+    authority lowercases.  The DuckDB twin re-states the four
+    canonicalization regexes verbatim (all RE2/Java-compatible) and
+    replicates ``parse_url(url, 'HOST')`` with an authority extract —
+    valid here because canonical URLs carry no userinfo/port.  url_hash
+    and salt are projected away (xxhash64 is engine-specific; their
+    derivation is pinned by tests/test_crawl.py)."""
+    from logtemplatecrawler_spark.crawl.frontier import frontier_from_seeds
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 40).cast("string")
+    i = F.col("doc_id").cast("string")
+    m4 = ((F.col("doc_id") - 4) % 40).cast("string")
+    i4 = (F.col("doc_id") - 4).cast("string")
+    url = (
+        F.when(F.col("doc_id") % 5 == 0,
+               F.concat(F.lit("HTTP://Host"), m, F.lit(".Example.COM/path/"), i))
+        .when(F.col("doc_id") % 5 == 1,
+              F.concat(F.lit("http://host"), m, F.lit(".example.com:80/path/"),
+                       i, F.lit("/")))
+        .when(F.col("doc_id") % 5 == 2,
+              F.concat(F.lit("HTTPS://HOST"), m, F.lit(".Example.COM:443/P/"),
+                       i, F.lit("#frag")))
+        .when(F.col("doc_id") % 5 == 3,
+              F.concat(F.lit("https://host"), m, F.lit(".example.com/p/"),
+                       i, F.lit("//")))
+        .otherwise(
+            F.concat(F.lit("http://HOST"), m4, F.lit(".example.com/path/"), i4))
+    )
+    seeds = docs.select(url.alias("url"),
+                        (F.col("doc_id") % 10).cast("int").alias("priority"))
+    return frontier_from_seeds(seeds).select(
+        "url", "host",
+        F.col("priority").cast("bigint").alias("priority"),
+        F.col("depth").cast("bigint").alias("depth"),
+        "state",
+        F.col("round_added").cast("bigint").alias("round_added"),
+        F.col("updated_round").cast("bigint").alias("updated_round"),
+    )
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)

@@ -348,3 +348,99 @@ def test_lsh_capped_subset(spark):
     }
     assert capped <= tuned
     assert capped < tuned, "cap did not fire — fixture bucket sizes changed?"
+
+
+def test_pq_adc_matches_numpy_oracle(spark):
+    """IVF-PQ entry vs an independent numpy oracle (not DuckDB): codebook =
+    per-coordinate means of vec_id%8 classes, codes = per-subspace argmin
+    (round-6 then ties by k, the entry's stability rule), candidates = the
+    query's coarse cell, ADC = summed per-subspace LUT entries.  Pins the
+    algorithm itself, not just cross-SQL agreement."""
+    import numpy as np
+    import pyarrow.parquet as pq
+
+    tbl = pq.read_table(f"{SF_DIR}/embeddings.parquet")
+    vec_ids = np.asarray(tbl["vec_id"])
+    X = np.stack([np.asarray(v, dtype=np.float64) for v in tbl["embedding"].to_pylist()])
+    order = np.argsort(vec_ids)
+    vec_ids, X = vec_ids[order], X[order]
+    K, M = 8, 8
+    cents = np.stack([X[vec_ids % K == k].mean(axis=0) for k in range(K)])
+    sub = np.arange(X.shape[1]) % M  # round-robin subspaces
+    # coarse assignment (full-dim), round-6 then argmin with k tie-break
+    d2 = ((X[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+    coarse = np.round(d2, 6).argmin(axis=1)
+    q = X[vec_ids == 0][0]
+    cand = (coarse == coarse[vec_ids == 0][0]) & (vec_ids != 0)
+    # PQ codes + query LUT per subspace
+    adc = np.zeros(len(X))
+    for m in range(M):
+        cols = sub == m
+        sd2 = ((X[:, None, cols] - cents[None, :, cols]) ** 2).sum(axis=2)
+        codes_m = np.round(sd2, 6).argmin(axis=1)
+        lut = ((q[cols] - cents[:, cols]) ** 2).sum(axis=1)
+        adc += lut[codes_m]
+    cand_ids = vec_ids[cand]
+    cand_adc = np.round(adc[cand], 6)
+    expect = sorted(zip(cand_adc, cand_ids))[:10]
+    got = [
+        (r["adc"], r["vec_id"])
+        for r in QUERIES["ann_ivfpq_search"](spark, SF_DIR).collect()
+    ]
+    assert [(round(a, 6), v) for a, v in expect] == \
+        [(round(a, 6), v) for a, v in got]
+
+
+def test_winnow_guarantee_shared_substring_shares_fingerprint(spark):
+    """THE winnowing guarantee (Schleimer et al. §3): any two docs sharing
+    a common substring of length ≥ k+w−1 (= 23 chars here) MUST share at
+    least one selected fingerprint — the selection rule may thin grams but
+    can never lose a long match.  Verified end-to-end against a pure-Python
+    23-gram index over the same slice."""
+    import collections
+
+    import pyarrow.parquet as pq
+
+    k, w = 8, 16
+    t = k + w - 1
+    tbl = pq.read_table(f"{SF_DIR}/documents.parquet", columns=["doc_id", "text"])
+    docs = {
+        did: text
+        for did, text in zip(tbl["doc_id"].to_pylist(), tbl["text"].to_pylist())
+        if did < 200 and len(text) >= t
+    }
+    gram_owners = collections.defaultdict(set)
+    for did, text in docs.items():
+        for p in range(len(text) - t + 1):
+            gram_owners[text[p:p + t]].add(did)
+    must_share = {
+        (a, b)
+        for owners in gram_owners.values() if len(owners) > 1
+        for a in owners for b in owners if a < b
+    }
+    assert must_share, "fixture corpus must contain ≥23-char shared substrings"
+    fps = collections.defaultdict(set)
+    for r in QUERIES["text_winnow_fingerprint"](spark, SF_DIR).collect():
+        fps[r["doc_id"]].add(r["fp"])
+    for a, b in must_share:
+        assert fps[a] & fps[b], f"pair ({a},{b}) shares a {t}-gram but no fingerprint"
+
+
+def test_seed_ingest_canonical_invariants(spark):
+    """The canonicalized frontier rows carry no fragment, no default port,
+    no trailing slash, a lowercase authority — and the duplicate seed
+    variant actually collapsed (fewer rows than seeds) to max priority."""
+    rows = QUERIES["crawl_seed_ingest_canonicalize"](spark, SF_DIR).collect()
+    n_docs = spark.read.parquet(f"{SF_DIR}/documents.parquet").count()
+    assert len(rows) < n_docs  # variant-4 duplicates collapsed
+    seen_pathcase = False
+    for r in rows:
+        url = r["url"]
+        assert "#" not in url and not url.endswith("/")
+        assert ":80/" not in url and ":443/" not in url
+        scheme_auth = url.split("/path/")[0].split("/p/")[0].split("/P/")[0]
+        assert scheme_auth == scheme_auth.lower()
+        assert r["host"] in url
+        if "/P/" in url:
+            seen_pathcase = True  # path case preserved while authority lowered
+    assert seen_pathcase
