@@ -2946,5 +2946,62 @@ def crawl_seed_ingest_canonicalize(spark, sf_dir):
     )
 
 
+@_q("crawl_discover_outlinks", sql="""
+    WITH ids AS (
+      SELECT CAST(doc_id % 40 AS VARCHAR) AS m, CAST(doc_id AS VARCHAR) AS i
+      FROM documents
+    ), pages AS (
+      SELECT 'intro http://h' || m || '.example.com/a/' || m
+          || ' mid (https://h' || m || '.example.com:443/b/' || i || '#frag)'
+          || ' q "http://h' || m || '.example.com/c/' || i
+          || '//" noise HTTP://NOPE'
+          || ' upper http://HUP' || m || '.Example.COM/d/' || i || ' end' AS text
+      FROM ids
+    ), links AS (
+      SELECT unnest(regexp_extract_all(text, 'https?://[^\\s"''<>)*]+')) AS url
+      FROM pages
+    ), nofrag AS (
+      SELECT regexp_replace(url, '#.*$', '') AS nf FROM links
+    ), joined AS (
+      SELECT regexp_replace(
+               lower(regexp_extract(nf, '^([a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*)', 1)),
+               ':(80|443)$', '')
+             || regexp_replace(nf, '^[a-zA-Z][a-zA-Z0-9+.-]*://[^/?]*', '') AS j
+      FROM nofrag
+    )
+    SELECT DISTINCT regexp_replace(j, '/+$', '') AS url FROM joined
+""")
+def crawl_discover_outlinks(spark, sf_dir):
+    """S2 through the ENGINE's ``discover_outlinks``
+    (crawl/scheduler.py:438-444: regexp_extract_all over page text →
+    explode → canonicalize → distinct — the reference's lazy tree walk
+    /src/templatecrawler/crawler/crawler.py re-expressed as the pages
+    table self-describing its edges; previously pytest-only).  Page text
+    is synthesized from ``documents`` with URLs in every boundary the
+    OUTLINK_RE must respect: plain, parenthesized with a default :443
+    port and a fragment, quote-delimited with a trailing-slash run,
+    an uppercase-scheme decoy (HTTP:// must NOT match — the regex is
+    case-sensitive in both engines), and a mixed-case authority the
+    canonicalizer must lowercase.  The a-type link repeats across docs
+    (path keyed by doc_id%40) so the distinct collapses 500 → 40 there.
+    The DuckDB twin restates OUTLINK_RE and the canonicalization chain
+    verbatim (all RE2/Java-compatible)."""
+    from logtemplatecrawler_spark.crawl.scheduler import discover_outlinks
+
+    docs = _t(spark, sf_dir, "documents")
+    m = (F.col("doc_id") % 40).cast("string")
+    i = F.col("doc_id").cast("string")
+    text = F.concat(
+        F.lit("intro http://h"), m, F.lit(".example.com/a/"), m,
+        F.lit(" mid (https://h"), m, F.lit(".example.com:443/b/"), i,
+        F.lit("#frag)"),
+        F.lit(' q "http://h'), m, F.lit(".example.com/c/"), i,
+        F.lit('//" noise HTTP://NOPE'),
+        F.lit(" upper http://HUP"), m, F.lit(".Example.COM/d/"), i,
+        F.lit(" end"),
+    )
+    return discover_outlinks(docs.select(text.alias("text")))
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)

@@ -431,3 +431,38 @@ def test_lsh_capped_plan_shape(spark):
     assert "Window" in plan, plan
     assert "CartesianProduct" not in plan, plan
     assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_ivfpq_plan_shape(spark):
+    """`ann_ivfpq_search`: the codebook joins (encode + coarse assign +
+    LUT build) and the 64-row LUT join against the codes must all compile
+    as broadcast equi-joins — never a cartesian or nested-loop product;
+    the ADC scan touches only (vec_id, m, code) rows."""
+    from logtemplatecrawler_spark.plans.harness import QUERIES
+
+    plan = _explain(
+        QUERIES["ann_ivfpq_search"](spark, "/root/testdata/sf0.001"), "simple"
+    )
+    assert plan.count("BroadcastHashJoin") >= 3, plan
+    assert "CartesianProduct" not in plan, plan
+    assert "BroadcastNestedLoopJoin" not in plan, plan
+
+
+def test_winnow_plan_shapes(spark):
+    """`text_winnow_fingerprint` is ONE window pass — no join anywhere in
+    its plan (the scale property: fingerprint selection is per-document,
+    embarrassingly parallel).  The pairs entry joins only by fingerprint
+    equality — no cartesian/nested-loop fallback."""
+    from logtemplatecrawler_spark.plans.harness import QUERIES
+
+    fp_plan = _explain(
+        QUERIES["text_winnow_fingerprint"](spark, "/root/testdata/sf0.001"),
+        "simple",
+    )
+    assert "Window" in fp_plan, fp_plan
+    assert "Join" not in fp_plan, fp_plan
+    pairs_plan = _explain(
+        QUERIES["dedup_winnow_pairs"](spark, "/root/testdata/sf0.001"), "simple"
+    )
+    assert "CartesianProduct" not in pairs_plan, pairs_plan
+    assert "BroadcastNestedLoopJoin" not in pairs_plan, pairs_plan
