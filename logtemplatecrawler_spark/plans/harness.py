@@ -3003,5 +3003,175 @@ def crawl_discover_outlinks(spark, sf_dir):
     return discover_outlinks(docs.select(text.alias("text")))
 
 
+@_q("crawl_frontier_pending_view", sql="""
+    WITH ev AS (
+      SELECT event_id, user_id FROM events
+    ), urls AS (
+      SELECT 'https://h' || CAST(user_id % 50 AS VARCHAR)
+             || '.example.org/p/' || CAST(event_id AS VARCHAR) AS url,
+             event_id, user_id
+      FROM ev
+    ), merged AS (
+      SELECT url, CASE WHEN event_id % 4 = 0 THEN 'done' ELSE 'pending' END AS state,
+             CAST(user_id % 10 AS BIGINT) AS priority,
+             CAST(0 AS BIGINT) AS updated_round
+      FROM urls
+      UNION ALL
+      SELECT url, 'done' AS state, CAST(user_id % 10 AS BIGINT) AS priority,
+             CAST(1 AS BIGINT) AS updated_round
+      FROM urls WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT url, 'blocked' AS state, CAST(user_id % 10 AS BIGINT) AS priority,
+             CAST(2 AS BIGINT) AS updated_round
+      FROM urls WHERE event_id % 7 = 0
+      UNION ALL
+      SELECT 'https://new.example.org/p/' || CAST(event_id AS VARCHAR) AS url,
+             'pending' AS state, CAST(5 AS BIGINT) AS priority,
+             CAST(2 AS BIGINT) AS updated_round
+      FROM ev WHERE event_id % 5 = 0
+    ), ranked AS (
+      SELECT url, state, priority, updated_round,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY updated_round DESC) AS rn
+      FROM merged
+    )
+    SELECT url, state, priority, updated_round
+    FROM ranked WHERE rn = 1 AND state = 'pending'
+""")
+def crawl_frontier_pending_view(spark, sf_dir):
+    """Driver check of the r5 headline scale fix — the pending VIEW
+    (crawl/scheduler.load_frontier_pending over the pending-only sidecar,
+    VERDICT r04 item 1): a base compaction round plus two later delta
+    rounds are derived from ``events``, written through the REAL table
+    format into a scratch checkpoint (``write_frontier_snapshots`` writes
+    the main snapshot AND its pending sidecar; ``write_delta`` the round
+    partitions), and the engine's sidecar + deltas reconstruction returns
+    the committed pending set.  The DuckDB oracle is the full-scan
+    formulation — keep-latest window over base ∪ deltas, then
+    ``state = 'pending'`` — so a hash match proves the
+    O(|pending| + |touched|) read ≡ the O(|frontier|) filter.  Unlike
+    `crawl_frontier_mor` (in-memory frames), this entry round-trips the
+    on-disk layout: snapshot dirs, the sidecar, delta partitions."""
+    import tempfile
+
+    from logtemplatecrawler_spark.crawl.scheduler import (
+        CrawlConfig, _frontier_delta_dir, load_frontier_pending,
+        write_frontier_snapshots,
+    )
+    from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    url = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.org/p/"), F.col("event_id").cast("string"),
+    )
+
+    def _frontier_rows(df, url_col, state_col, priority_col, rnd):
+        return with_frontier_keys(
+            df.select(url_col.alias("url"), state_col.alias("state"),
+                      priority_col.cast("int").alias("priority"))
+        ).select(
+            "url", "url_hash", "host", "salt", "priority",
+            F.lit(0).alias("depth"), "state",
+            F.lit(0).alias("round_added"),
+            F.lit(rnd).alias("updated_round"),
+        )
+
+    base = _frontier_rows(
+        ev, url,
+        F.when(F.col("event_id") % 4 == 0, "done").otherwise("pending"),
+        F.col("user_id") % 10, 0,
+    )
+    d1 = _frontier_rows(
+        ev.where(F.col("event_id") % 3 == 0), url, F.lit("done"),
+        F.col("user_id") % 10, 1,
+    )
+    d2_blocked = _frontier_rows(
+        ev.where(F.col("event_id") % 7 == 0), url, F.lit("blocked"),
+        F.col("user_id") % 10, 2,
+    )
+    d2_new = _frontier_rows(
+        ev.where(F.col("event_id") % 5 == 0),
+        F.concat(F.lit("https://new.example.org/p/"),
+                 F.col("event_id").cast("string")),
+        F.lit("pending"), F.lit(5), 2,
+    )
+    cfg = CrawlConfig(checkpoint_dir=tempfile.mkdtemp(prefix="pending_view_"))
+    write_frontier_snapshots(spark, cfg, base, 0)
+    fmt = cfg.table_format
+    fmt.write_delta(d1, _frontier_delta_dir(cfg), 1)
+    fmt.write_delta(d2_blocked.unionByName(d2_new), _frontier_delta_dir(cfg), 2)
+    return load_frontier_pending(spark, cfg, 2).select(
+        "url", "state",
+        F.col("priority").cast("bigint").alias("priority"),
+        F.col("updated_round").cast("bigint").alias("updated_round"),
+    )
+
+
+@_q("stream_windowed_metrics_drain", sql="""
+    WITH pages AS (
+      SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.org' AS host,
+             1700000000 + (event_id % 96) * 600 AS ts_epoch,
+             100 + event_id % 50 AS nbytes
+      FROM events
+    )
+    SELECT (ts_epoch // 3600) * 3600 AS win_start_epoch,
+           (ts_epoch // 3600) * 3600 + 3600 AS win_end_epoch,
+           host,
+           count(*) AS pages,
+           CAST(sum(nbytes) AS BIGINT) AS bytes
+    FROM pages GROUP BY 1, 2, 3
+""")
+def stream_windowed_metrics_drain(spark, sf_dir):
+    """STRUCTURED STREAMING, driver-hashed: the engine's windowed-metrics
+    drain (streaming/windowed_metrics.drain_windowed_metrics — readStream
+    over a parquet dir → withWatermark → event-time 1-hour window groupBy →
+    availableNow drain into a memory sink) runs to completion inside the
+    query and its final table is hash-compared against a plain GROUP BY
+    twin.  Valid because a complete-mode drain of a bounded source is
+    deterministic: the watermark bounds state in update/append modes but
+    drops nothing in complete mode, so stream ≡ batch (the property
+    tests/test_streaming_and_tables.py pins; this entry pins it in the
+    driver hash too).  Pages are synthesized from ``events`` (20 hosts ×
+    ~16 epoch-hours, 10-minute steps) and written to a scratch dir first —
+    the file source replays them as micro-batches.  All output keys are
+    epoch-second integers computed inside each engine (no timestamp
+    rendering crosses the engine boundary — the r4 timezone lesson)."""
+    import tempfile
+    import uuid
+
+    from logtemplatecrawler_spark.streaming.windowed_metrics import (
+        drain_windowed_metrics,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    pages = ev.select(
+        F.concat(F.lit("https://h"), (F.col("user_id") % 20).cast("string"),
+                 F.lit(".example.org/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.timestamp_seconds(
+            F.lit(1700000000) + (F.col("event_id") % 96) * 600
+        ).alias("warc_ts"),
+        F.expr("repeat('x', CAST(100 + event_id % 50 AS INT))").alias("html"),
+    )
+    scratch = tempfile.mkdtemp(prefix="stream_drain_")
+    pages_dir = f"{scratch}/pages"
+    pages.write.mode("overwrite").parquet(pages_dir)
+    name = f"drain_{uuid.uuid4().hex[:12]}"
+    out = drain_windowed_metrics(
+        spark, pages_dir, "url string, warc_ts timestamp, html string",
+        checkpoint_dir=f"{scratch}/ckpt", query_name=name,
+        window_len="1 hour", watermark_delay="2 hours",
+        output_mode="complete",
+    )
+    return out.select(
+        F.unix_timestamp("win_start").alias("win_start_epoch"),
+        F.unix_timestamp("win_end").alias("win_end_epoch"),
+        "host",
+        F.col("pages").cast("bigint").alias("pages"),
+        F.col("bytes").cast("bigint").alias("bytes"),
+    )
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)
