@@ -128,6 +128,12 @@ def main() -> None:
         "ann_ivfpq_search",
         "dedup_winnow_pairs",
         "crawl_seed_ingest_canonicalize",
+        "crawl_discover_outlinks",
+        "crawl_frontier_pending_view",
+        "stream_windowed_metrics_drain",
+        "s3_fetch_join_size_gate",
+        "w2_politeness_pacing_rounds",
+        "curation_decontaminate_ngram",
     ]
 
     def one_pass():

@@ -435,6 +435,58 @@ def with_seed_rank(spark: SparkSession, all_seeds: DataFrame):
     return ranked, offset, part
 
 
+def anti_join_committed(templates: DataFrame, neg: DataFrame) -> DataFrame:
+    """Drop batch rows whose ``template`` OR ``parsed_template`` was already
+    committed (the reference's two INDEPENDENT unique constraints,
+    postgres_db.sql:236-261, checked per-row at
+    dags/log2vec_process-repository.py:297-317), with the join inverted so
+    the cumulative key set never shuffles:
+
+      conflicts(k) = neg ⋉ broadcast(batch keys)   -- big side streams, no
+                                                   -- exchange, no distinct
+      batch        = batch ▷ broadcast(conflicts)  -- tiny right side
+
+    Equivalent to ``batch ▷ neg`` on each key (x ∈ batch survives iff no
+    neg row matches it — the semi-join keeps exactly the matching neg rows),
+    but the per-round cost is one parallel scan of two narrow columns
+    instead of a full shuffle + hash-distinct of O(|all templates ever|)."""
+    # Both conflict sets derive from the INCOMING batch (the two checks are
+    # conjunctive filters, so order/base don't matter) — deriving the second
+    # key set from the once-filtered batch would duplicate the first join's
+    # subtree into the second distinct's lineage for nothing.
+    conflict_sets = [
+        (
+            key,
+            neg.select(key).join(
+                F.broadcast(templates.select(key).distinct()), key, "left_semi"
+            ),
+        )
+        for key in ("template", "parsed_template")
+    ]
+    for key, conflicts in conflict_sets:
+        templates = templates.join(F.broadcast(conflicts), key, "left_anti")
+    return templates
+
+
+def classify_fetch(popped: DataFrame, pages_kv: DataFrame,
+                   min_page_bytes: int) -> DataFrame:
+    """The "fetch" (S3/S4: blob fetch ≡ left join onto the pages table —
+    calls.py:170-202's per-oid GraphQL blob fetch, batched like the shallow
+    clone crawler.py:63-72) plus the size gate (F3, heuristicwalk.py:29:
+    blobs ≤255 bytes are dropped): each popped URL is classified
+    ``missing`` (no page row — isBinary/404 analog), ``too_small``
+    (octet_length(html) ≤ min_page_bytes), or ``done``.  The popped rows'
+    full frontier columns ride through, so the round delta is a projection
+    of this frame — no join-back."""
+    fetched = popped.join(pages_kv, "url", "left")
+    return fetched.withColumn(
+        "fetch_state",
+        F.when(F.col("text").isNull(), F.lit(FR.STATE_MISSING))
+        .when(F.octet_length("html") <= min_page_bytes, F.lit(FR.STATE_TOO_SMALL))
+        .otherwise(F.lit(FR.STATE_DONE)),
+    )
+
+
 def discover_outlinks(fetched_pages: DataFrame) -> DataFrame:
     """Harvest + canonicalize outlink URLs from fetched page text (S2 analog:
     the pages table self-describes its edges; explode replaces tree walks)."""
@@ -700,13 +752,7 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # The fetch join carries the popped rows' full frontier columns
         # through, so the round's delta rows are a projection of `fetched`
         # (+ blocked + admissions) — no full-frontier transitions join.
-        fetched = popped.join(pages_kv, "url", "left")
-        fetched = fetched.withColumn(
-            "fetch_state",
-            F.when(F.col("text").isNull(), F.lit(FR.STATE_MISSING))
-            .when(F.octet_length("html") <= cfg.min_page_bytes, F.lit(FR.STATE_TOO_SMALL))
-            .otherwise(F.lit(FR.STATE_DONE)),
-        )
+        fetched = classify_fetch(popped, pages_kv, cfg.min_page_bytes)
         # One materialization of the (small) per-round batch: reused by the
         # pipeline, discovery, transitions, and metrics.
         fetched = fetched.persist()
@@ -719,18 +765,29 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         templates = extract_templates(
             good.select("url", "warc_ts", "html", "text", "lang"), dedup=True
         )
+        # Pin the Arrow extract+parse output: the inverted neg check below
+        # references the batch three times (two broadcast key sets + the
+        # anti base) and must not re-run the UDF pipeline per reference.
+        templates_cached = templates.persist() if neg is not None else None
+        if templates_cached is not None:
+            templates = templates_cached
         # Cross-round dedup: the reference's negative-cache / ON CONFLICT
         # anti-joins (F11/J3, dags/log2vec_process-repository.py:297-328) —
         # a template (or parsed_template) already committed by an earlier
         # round never re-enters.  `neg` is ONE cumulative committed-keys
         # snapshot (re-reading every prior round's delta was O(R²)
-        # file-opens over the crawl — VERDICT r01 item 4).
+        # file-opens over the crawl — VERDICT r01 item 4).  The check is
+        # INVERTED so the big side never exchanges (r5): a direct
+        # `templates ANTI JOIN neg` sort-merge-shuffles (and `distinct()`
+        # hash-aggregates) the cumulative key set — O(|all templates ever|)
+        # shuffle per round at the design point.  Instead, semi-join `neg`
+        # against a BROADCAST of this round's small key set (the big table
+        # streams through a BroadcastHashJoin probe — a parallel scan, zero
+        # exchange), which yields the ≤|batch| actual conflicts, and
+        # broadcast-anti those back onto the batch.  Plan-asserted
+        # exchange-free on the neg side in tests/test_scale_plans.py.
         if neg is not None:
-            templates = templates.join(
-                neg.select("template").distinct(), "template", "left_anti"
-            ).join(
-                neg.select("parsed_template").distinct(), "parsed_template", "left_anti"
-            )
+            templates = anti_join_committed(templates, neg)
 
         bloom = None
         if cfg.discover_links:
@@ -838,6 +895,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         if n_popped == 0 and n_blocked == 0 and not seeds_remain:
             if bloom is not None:
                 bloom.unpersist()
+            if templates_cached is not None:
+                templates_cached.unpersist()
             fetched.unpersist()
             delta_rows.unpersist()
             break
@@ -926,6 +985,8 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         }
         fmt.commit_round(rdir, metrics)
         metrics_log.append(metrics)
+        if templates_cached is not None:
+            templates_cached.unpersist()
         fetched.unpersist()
         # the round's delta stays persisted ONE extra round: it is the next
         # round's bloom increment (scan-free incremental add, above)

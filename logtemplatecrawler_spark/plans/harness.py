@@ -3173,5 +3173,298 @@ def stream_windowed_metrics_drain(spark, sf_dir):
     )
 
 
+@_q("s7_append_unique_upsert", sql="""
+    WITH b1 AS (
+      SELECT 'T' || CAST(doc_id AS VARCHAR) AS template,
+             'P' || CAST(doc_id AS VARCHAR) AS parsed_template,
+             'b1' AS src
+      FROM documents WHERE doc_id < 250
+    ), b2 AS (
+      SELECT 'T' || CAST(doc_id AS VARCHAR) AS template,
+             'P' || CAST(doc_id - 180 AS VARCHAR) AS parsed_template,
+             'b2' AS src
+      FROM documents WHERE doc_id >= 200 AND doc_id < 450
+    )
+    SELECT template, parsed_template, src FROM b1
+    UNION ALL
+    SELECT template, parsed_template, src FROM b2
+    WHERE template NOT IN (SELECT template FROM b1)
+      AND parsed_template NOT IN (SELECT parsed_template FROM b1)
+""")
+def s7_append_unique_upsert(spark, sf_dir):
+    """S7 through the ENGINE's ``append_unique`` (sources/tables.py:31-50 —
+    INSERT … ON CONFLICT DO NOTHING, postgres_db.sql:236-261's two
+    INDEPENDENT unique constraints on template and parsed_template):
+    batch 1 seeds a scratch parquet sink; batch 2 overlaps it on the
+    template key for doc_id 200-249 and on the parsed_template key for
+    doc_id 250-429 (both constraints bind on disjoint ranges — only
+    430-449 survives), and the returned frame is the sink READ BACK from
+    disk, so the hash pins the anti-join semantics AND the filesystem
+    append path.  The DuckDB twin is the relational restatement: batch 1
+    ∪ (batch 2 minus either-key conflicts)."""
+    import tempfile
+
+    from logtemplatecrawler_spark.sources.tables import append_unique
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    b1 = docs.where(F.col("doc_id") < 250).select(
+        F.concat(F.lit("T"), i).alias("template"),
+        F.concat(F.lit("P"), i).alias("parsed_template"),
+        F.lit("b1").alias("src"),
+    )
+    b2 = docs.where((F.col("doc_id") >= 200) & (F.col("doc_id") < 450)).select(
+        F.concat(F.lit("T"), i).alias("template"),
+        F.concat(F.lit("P"), (F.col("doc_id") - 180).cast("string")).alias(
+            "parsed_template"
+        ),
+        F.lit("b2").alias("src"),
+    )
+    sink = tempfile.mkdtemp(prefix="append_unique_") + "/templates"
+    append_unique(b1, sink, ["template", "parsed_template"])
+    append_unique(b2, sink, ["template", "parsed_template"])
+    return spark.read.parquet(sink).select("template", "parsed_template", "src")
+
+
+@_q("f7_c_preprocessor_strip", sql="""
+    WITH stmts AS (
+      SELECT doc_id,
+             CASE doc_id % 4
+               WHEN 0 THEN '   printf("x %d", v); // ' || CAST(doc_id AS VARCHAR) || '  '
+               WHEN 1 THEN '  #include <stdio.h> // ' || CAST(doc_id AS VARCHAR)
+               WHEN 2 THEN '   log.info("y"); // ' || CAST(doc_id AS VARCHAR) || '   '
+               ELSE '#define X ' || CAST(doc_id AS VARCHAR)
+             END AS raw,
+             CASE WHEN doc_id % 4 IN (0, 1) THEN 'c' ELSE 'java' END AS lang
+      FROM documents
+    ), normalized AS (
+      SELECT doc_id, lang,
+             CASE WHEN lang = 'c'
+                  THEN regexp_replace(raw, '^\\s+|\\s+$', '', 'g')
+                  ELSE raw END AS raw
+      FROM stmts
+    )
+    SELECT doc_id, lang, raw FROM normalized
+    WHERE NOT (lang = 'c' AND raw LIKE '#%')
+""")
+def f7_c_preprocessor_strip(spark, sf_dir):
+    """F7 through the ENGINE's native columns (functions/columns.py:93-102,
+    citing logparser/c.py:56-60): C statements are whitespace-stripped
+    BEFORE the preprocessor check (so an indented ``#include`` is still
+    dropped) and the stripped text is what flows on; java statements keep
+    their whitespace and their ``#``-leading lines (the rule is
+    C-conditional).  Exactly the normalize→filter order the template
+    pipeline runs (plans/template_pipeline.py:59-60).  The DuckDB twin
+    restates the trim regex (both-anchor alternation needs the 'g' flag —
+    Spark's regexp_replace is global by default) and the conditional
+    filter."""
+    from logtemplatecrawler_spark.functions import columns as C
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    i = F.col("doc_id").cast("string")
+    raw = (
+        F.when(F.col("doc_id") % 4 == 0,
+               F.concat(F.lit('   printf("x %d", v); // '), i, F.lit("  ")))
+        .when(F.col("doc_id") % 4 == 1,
+              F.concat(F.lit("  #include <stdio.h> // "), i))
+        .when(F.col("doc_id") % 4 == 2,
+              F.concat(F.lit('   log.info("y"); // '), i, F.lit("   ")))
+        .otherwise(F.concat(F.lit("#define X "), i))
+    )
+    lang = F.when(F.col("doc_id") % 4 <= 1, "c").otherwise("java")
+    stmts = docs.select("doc_id", raw.alias("raw"), lang.alias("lang"))
+    stmts = stmts.withColumn("raw", C.normalize_raw(F.col("raw"), F.col("lang")))
+    return stmts.where(
+        C.keep_non_preprocessor(F.col("raw"), F.col("lang"))
+    ).select("doc_id", "lang", "raw")
+
+
+@_q("s6_csv_roundtrip", sql="""
+    SELECT c_custkey AS custkey, c_name AS name, c_mktsegment AS segment,
+           c_name || ', segment="' || c_mktsegment || '"' AS comment
+    FROM customer WHERE c_custkey % 3 = 0
+""")
+def s6_csv_roundtrip(spark, sf_dir):
+    """S6 through the ENGINE's CSV sink/source (sources/tables.py:24-29 —
+    the reference's file-locked append-only CSV of searched repos,
+    crawler.py:128-153): write a customer slice with ``write_csv`` and
+    return ``read_csv`` of it back, so the hash pins header handling,
+    schema-ful reads, and quoting (the synthesized comment column embeds
+    commas AND double quotes, forcing the writer's quote-and-escape path).
+    The DuckDB twin is the identity derivation — a lossless roundtrip must
+    equal the source slice."""
+    import tempfile
+
+    from logtemplatecrawler_spark.sources.tables import read_csv, write_csv
+
+    cust = _t(spark, sf_dir, "customer").where(
+        F.col("c_custkey") % 3 == 0
+    ).select(
+        F.col("c_custkey").alias("custkey"),
+        F.col("c_name").alias("name"),
+        F.col("c_mktsegment").alias("segment"),
+        F.concat(F.col("c_name"), F.lit(', segment="'),
+                 F.col("c_mktsegment"), F.lit('"')).alias("comment"),
+    )
+    path = tempfile.mkdtemp(prefix="csv_lock_") + "/searched"
+    write_csv(cust, path)
+    return read_csv(
+        spark, path, "custkey bigint, name string, segment string, comment string"
+    )
+
+
+@_q("s3_fetch_join_size_gate", sql="""
+    WITH popped AS (
+      SELECT 'https://site.example/' || CAST(doc_id AS VARCHAR) AS url
+      FROM documents WHERE doc_id < 600
+    ), pages AS (
+      SELECT 'https://site.example/' || CAST(doc_id AS VARCHAR) AS url,
+             repeat('x', CASE WHEN doc_id % 7 = 0 THEN 10 ELSE 300 END) AS body
+      FROM documents WHERE doc_id % 5 <> 0
+    )
+    SELECT p.url,
+           CASE WHEN g.body IS NULL THEN 'missing'
+                WHEN octet_length(encode(g.body)) <= 255 THEN 'too_small'
+                ELSE 'done' END AS fetch_state
+    FROM popped p LEFT JOIN pages g ON p.url = g.url
+""")
+def s3_fetch_join_size_gate(spark, sf_dir):
+    """S3/S4/F3 through the ENGINE's ``classify_fetch``
+    (crawl/scheduler.py — the run_crawl fetch stage itself): popped URLs
+    left-join the pages table; no page row → ``missing`` (the blob fetch's
+    isBinary/404 analog, calls.py:170-202), octet_length(html) ≤ 255 →
+    ``too_small`` (heuristicwalk.py:29), else ``done``.  doc_id % 5 = 0
+    rows are absent from pages and % 7 = 0 bodies are 10 bytes, so all
+    three states occur; the DuckDB twin restates the gate over VARCHAR
+    bytes (octet_length(utf8) ≡ octet_length(encode))."""
+    from logtemplatecrawler_spark.crawl.scheduler import classify_fetch
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id")
+    url = F.concat(F.lit("https://site.example/"), F.col("doc_id").cast("string"))
+    popped = docs.where(F.col("doc_id") < 600).select(url.alias("url"))
+    body = F.repeat(
+        F.lit("x"),
+        F.when(F.col("doc_id") % 7 == 0, F.lit(10)).otherwise(F.lit(300)),
+    )
+    pages_kv = docs.where(F.col("doc_id") % 5 != 0).select(
+        url.alias("url"),
+        F.encode(body, "utf-8").alias("html"),
+        body.alias("text"),
+    )
+    return classify_fetch(popped, pages_kv, min_page_bytes=255).select(
+        "url", "fetch_state"
+    )
+
+
+@_q("w2_politeness_pacing_rounds", sql="""
+    WITH pend AS (
+      SELECT 'h' || CAST(user_id % 40 AS VARCHAR) || '.example.net' AS host,
+             'https://h' || CAST(user_id % 40 AS VARCHAR) || '.example.net/p/'
+               || CAST(event_id AS VARCHAR) AS url,
+             value AS priority
+      FROM events
+    ), ranked AS (
+      SELECT host, url, priority,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url ASC) AS rn
+      FROM pend
+    )
+    SELECT host, url, priority,
+           CAST((rn - 1) // 4 + 1 AS BIGINT) AS pop_round
+    FROM ranked WHERE rn <= 8
+""")
+def w2_politeness_pacing_rounds(spark, sf_dir):
+    """W2 pacing through the ENGINE's pop: two consecutive rounds of
+    ``pop_per_host(budget=4, salted=True)`` with the first round's pops
+    anti-joined away before the second (exactly run_crawl's round loop —
+    each cron tick leases the NEXT budget-slice per host,
+    dags/log2vec_process-repository.py:62-79).  Round r's set must equal
+    per-host priority ranks (r-1)·budget+1 … r·budget, which is the DuckDB
+    twin: one global window with pop_round = (rn-1) // budget + 1."""
+    from logtemplatecrawler_spark.crawl.politeness import pop_per_host
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id", "value")
+    host = F.concat(F.lit("h"), (F.col("user_id") % 40).cast("string"),
+                    F.lit(".example.net"))
+    pend = ev.select(
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, F.lit("/p/"),
+                 F.col("event_id").cast("string")).alias("url"),
+        F.col("value").alias("priority"),
+    ).withColumn("salt", F.pmod(F.crc32(F.col("url")), F.lit(8)).cast("int"))
+    r1 = pop_per_host(pend, budget=4, salted=True)
+    rest = pend.join(r1.select("url"), "url", "left_anti")
+    r2 = pop_per_host(rest, budget=4, salted=True)
+    out = r1.withColumn("pop_round", F.lit(1).cast("bigint")).unionByName(
+        r2.withColumn("pop_round", F.lit(2).cast("bigint"))
+    )
+    return out.select("host", "url", "priority", "pop_round")
+
+
+@_q("curation_decontaminate_ngram", sql="""
+    WITH toks AS (
+      SELECT doc_id, string_split(text, ' ') AS ws FROM documents
+    ), grams AS (
+      SELECT doc_id,
+             unnest(generate_series(1, array_length(ws) - 7)) AS pos
+      FROM toks WHERE array_length(ws) >= 8
+    ), keyed AS (
+      SELECT g.doc_id,
+             substr(md5(array_to_string(t.ws[g.pos:g.pos+7], ' ')), 1, 15)
+               AS gk
+      FROM grams g JOIN toks t ON t.doc_id = g.doc_id
+    ), eval_grams AS (
+      SELECT DISTINCT gk FROM keyed WHERE doc_id % 97 = 0
+    )
+    SELECT k.doc_id,
+           count(*) AS total_grams,
+           count(e.gk) AS eval_grams,
+           count(e.gk) > 0 AS contaminated
+    FROM keyed k LEFT JOIN eval_grams e ON k.gk = e.gk
+    WHERE k.doc_id % 97 <> 0
+    GROUP BY k.doc_id
+""")
+def curation_decontaminate_ngram(spark, sf_dir):
+    """Benchmark DECONTAMINATION — the training-data hygiene op every
+    100 TB pipeline runs before export: drop/flag corpus documents that
+    share a verbatim word-8-gram with the evaluation set (the
+    GPT-3/C4-style 13-gram rule at this corpus's scale).  Here the "eval
+    set" is the doc_id % 97 == 0 slice; every other document is scored by
+    how many of its 8-grams appear in it.  Scale shape: the eval side of
+    the probe is tiny by construction (benchmarks are MBs, corpora are
+    TBs), so its distinct gram keys are BROADCAST and the corpus grams
+    stream through a BroadcastHashJoin — the only shuffle is the final
+    per-doc count combine, O(|docs|) after partial aggregation.  Same
+    md5-prefix gram keys as `dedup_repeated_ngram_spans`; the DuckDB twin
+    slices grams via list ranges."""
+    docs = _t(spark, sf_dir, "documents")
+    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
+        F.size("ws") >= 8
+    )
+    keyed = toks.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(sequence(1, size(ws) - 7),"
+                " i -> substring(md5(array_join(slice(ws, i, 8), ' ')), 1, 15))"
+            )
+        ).alias("gk"),
+    )
+    eval_grams = (
+        keyed.where(F.col("doc_id") % 97 == 0).select("gk").distinct()
+        .select("gk", F.lit(1).alias("_hit"))
+    )
+    return (
+        keyed.where(F.col("doc_id") % 97 != 0)
+        .join(F.broadcast(eval_grams), "gk", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("total_grams"),
+            F.count("_hit").alias("eval_grams"),
+            (F.count("_hit") > 0).alias("contaminated"),
+        )
+    )
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)

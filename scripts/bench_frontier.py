@@ -18,7 +18,11 @@ point, ~1.2 GB at the design row width):
                  base snapshot with 1% delta rows spread over 4 rounds
                  (crawl/scheduler.merge_on_read — the per-round
                  load_frontier path), vs the r3 union+window formulation
-                 over plain parquet for the before/after ratio.
+                 over plain parquet for the before/after ratio;
+  5. ``neg``   — the per-round negative-cache check of a 5k-template batch
+                 against N committed keys: the r5 inverted broadcast probe
+                 (crawl/scheduler.anti_join_committed, zero exchange of the
+                 big side) vs the r3-r4 direct anti-join-with-distinct.
 
 The frontier is generated IN SPARK (deterministic), written to parquet
 off the clock, and read back — so the timed ops include the scan, like the
@@ -229,6 +233,47 @@ def main() -> None:
         snap_bytes = _dir_bytes(snap_md)
         sidecar_bytes = _dir_bytes(sidecar)
 
+        # ---- negative-cache check (r5): broadcast probe vs shuffled anti --
+        # design-point shape: the cumulative committed-key table has grown
+        # to `rows` keys; a round batch of a few thousand templates (half
+        # already committed) must be checked against BOTH unique keys.
+        from logtemplatecrawler_spark.crawl.scheduler import anti_join_committed
+
+        neg_path = os.path.join(work, "neg_keys")
+        (spark.range(args.rows).select(
+            F.concat(F.lit("tpl "), F.col("id").cast("string")).alias("template"),
+            F.concat(F.lit("ptpl "), F.col("id").cast("string")).alias(
+                "parsed_template"),
+        ).write.mode("overwrite").parquet(neg_path))
+        neg = spark.read.parquet(neg_path)
+        batch_n = 5_000
+        batch = spark.range(args.rows - batch_n // 2,
+                            args.rows + batch_n // 2).select(
+            F.concat(F.lit("tpl "), F.col("id").cast("string")).alias("template"),
+            F.concat(F.lit("ptpl "), F.col("id").cast("string")).alias(
+                "parsed_template"),
+            F.lit("raw text").alias("raw"),
+        ).localCheckpoint()  # batch generation off the clock, like the
+        # round loop's persisted UDF output
+
+        t0 = time.monotonic()
+        anti_join_committed(batch, neg).write.format("noop").mode(
+            "overwrite").save()
+        t_neg_inverted = time.monotonic() - t0
+
+        # the r3-r4 formulation: direct anti-joins against the distinct'd
+        # cumulative key set (shuffles + hash-aggregates the big side twice)
+        t0 = time.monotonic()
+        (batch.join(neg.select("template").distinct(), "template", "left_anti")
+         .join(neg.select("parsed_template").distinct(), "parsed_template",
+               "left_anti")
+         .write.format("noop").mode("overwrite").save())
+        t_neg_direct = time.monotonic() - t0
+
+        # sanity (off the clock): exactly the new half survives either way
+        n_surv = anti_join_committed(batch, neg).count()
+        assert n_surv == batch_n // 2, (n_surv, batch_n)
+
         total = t_pop + t_bloom + t_seen
         result = {
             "job": "frontier_round_ops",
@@ -243,7 +288,11 @@ def main() -> None:
                     "mor_bucketed": round(t_mor, 3),
                     "mor_window_r3": round(t_mor_window, 3),
                     "pending_sidecar_r5": round(t_pending_sidecar, 3),
-                    "pending_fullscan_r4": round(t_pending_full, 3)},
+                    "pending_fullscan_r4": round(t_pending_full, 3),
+                    "neg_check_inverted_r5": round(t_neg_inverted, 3),
+                    "neg_check_direct_r4": round(t_neg_direct, 3)},
+            "neg_check_speedup_vs_direct": round(
+                t_neg_direct / t_neg_inverted, 2),
             "pending_speedup_vs_fullscan": round(
                 t_pending_full / t_pending_sidecar, 2),
             "pending_read_bytes_r5": sidecar_bytes,

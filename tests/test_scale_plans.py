@@ -365,6 +365,62 @@ def test_bucketed_frontier_join_is_one_sided(spark, tmp_path):
         spark.sql("DROP TABLE IF EXISTS frontier_bucketed")
 
 
+def test_neg_cache_check_never_shuffles_committed_keys(spark, tmp_path):
+    """r5: ``anti_join_committed`` must stream the cumulative committed-key
+    table through broadcast probes — no SortMergeJoin, no hash-distinct of
+    the big side.  With auto-broadcast disabled (so only the EXPLICIT hints
+    can produce broadcasts) the plan holds four BroadcastHashJoins (semi +
+    anti per key) and strictly fewer Exchanges than the direct
+    anti-join-with-distinct formulation it replaces; and on overlapping
+    data the two formulations agree row-for-row."""
+    from logtemplatecrawler_spark.crawl.scheduler import anti_join_committed
+
+    neg = spark.range(50_000).select(
+        F.concat(F.lit("tpl "), F.col("id").cast("string")).alias("template"),
+        F.concat(F.lit("ptpl "), F.col("id").cast("string")).alias(
+            "parsed_template"
+        ),
+    )
+    path = str(tmp_path / "neg_keys")
+    neg.write.parquet(path)
+    neg = spark.read.parquet(path)
+    # batch overlaps neg on template for ids 49_990-49_999 and on
+    # parsed_template (ids shifted by -10) for ids ≤ 50_009 — both
+    # constraints bind; 30 rows survive
+    batch = spark.range(49_990, 50_040).select(
+        F.concat(F.lit("tpl "), F.col("id").cast("string")).alias("template"),
+        F.concat(F.lit("ptpl "), (F.col("id") - 10).cast("string")).alias(
+            "parsed_template"
+        ),
+        F.lit("raw").alias("raw"),
+    )
+    old = batch.join(
+        neg.select("template").distinct(), "template", "left_anti"
+    ).join(
+        neg.select("parsed_template").distinct(), "parsed_template", "left_anti"
+    )
+    new = anti_join_committed(batch, neg)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        old_plan = _explain(old, "simple")
+        new_plan = _explain(new, "simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "SortMergeJoin" not in new_plan, new_plan
+    assert new_plan.count("BroadcastHashJoin") == 4, new_plan
+    # the ONLY shuffles are the two distincts over the small batch; the old
+    # formulation also shuffles the committed-key table (distinct + SMJ)
+    new_shuffles = new_plan.count("Exchange hashpartitioning")
+    old_shuffles = old_plan.count("Exchange hashpartitioning")
+    assert new_shuffles == 2, new_plan
+    assert new_shuffles < old_shuffles, (old_plan, new_plan)
+    # semantic equivalence: ids 49_990-49_999 conflict on template, ids
+    # 49_990-50_009 (parsed ids ≤ 49_999) on parsed_template → 30 survivors
+    got = sorted(r["template"] for r in new.collect())
+    want = sorted(r["template"] for r in old.collect())
+    assert got == want and len(got) == 30, (len(got), got[:5])
+
+
 def test_training_ops_plan_shapes(spark):
     """r5 training-data entries keep their scale shapes: the TF-IDF top-k
     window group-limits map-side (no full sort per doc), its corpus-size
