@@ -134,6 +134,7 @@ def main() -> None:
         "s3_fetch_join_size_gate",
         "w2_politeness_pacing_rounds",
         "curation_decontaminate_ngram",
+        "stream_content_dedup_drain",
     ]
 
     def one_pass():

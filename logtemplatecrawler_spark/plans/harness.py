@@ -3466,5 +3466,59 @@ def curation_decontaminate_ngram(spark, sf_dir):
     )
 
 
+def _stream_content_dedup_sql() -> str:
+    # shares the generated simhash CTE with the batch entries, then states
+    # the online verdict relationally: dup iff an EARLIER (smaller doc_id)
+    # signature lies within the Hamming radius
+    return _simhash_cte() + f"""
+    SELECT a.doc_id,
+           CAST(EXISTS(
+             SELECT 1 FROM sims b
+             WHERE b.doc_id < a.doc_id
+               AND bit_count(xor(a.simhash, b.simhash)) <= {_SIMHASH_HAMMING}
+           ) AS BOOLEAN) AS near_dup
+    FROM sims a
+    """
+
+
+@_q("stream_content_dedup_drain", sql=_stream_content_dedup_sql())
+def stream_content_dedup_drain(spark, sf_dir):
+    """STREAMING content-level near-dup, driver-hashed: the engine's online
+    simhash filter (streaming/content_dedup.streaming_near_dup_flags —
+    readStream → Arrow simhash UDF → band-key explode →
+    `applyInPandasWithState` keyed by the 4×15-bit band buckets →
+    availableNow drain → `near_dup_verdicts` resolve) runs to completion
+    inside the query.  Deterministic because the whole table arrives as ONE
+    micro-batch (single source file) and within a batch the state function
+    orders by doc_id, so the verdict is exactly "some smaller-doc_id
+    signature within Hamming ≤ 3" — which the DuckDB twin states over the
+    SAME generated simhash CTE as the batch entries (the pure-Python
+    streaming signature is pinned bit-identical to the batch aggregation by
+    tests/test_stateful_streaming.py::test_simhash60_matches_batch_frame).
+    Pigeonhole makes the banded state exact, so the relational restatement
+    needs no banding at all."""
+    import tempfile
+
+    from logtemplatecrawler_spark.streaming.content_dedup import (
+        near_dup_verdicts, streaming_near_dup_flags,
+    )
+
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    scratch = tempfile.mkdtemp(prefix="stream_dedup_")
+    src, out, ckpt = f"{scratch}/src", f"{scratch}/out", f"{scratch}/ckpt"
+    docs.coalesce(1).write.mode("overwrite").parquet(src)
+    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    q = (
+        streaming_near_dup_flags(stream)
+        .writeStream.format("parquet")
+        .option("path", out)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return near_dup_verdicts(spark.read.parquet(out))
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)
