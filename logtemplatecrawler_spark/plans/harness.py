@@ -3108,6 +3108,117 @@ def crawl_frontier_pending_view(spark, sf_dir):
     )
 
 
+_COMPACT_ROUNDTRIP_SQL = """
+    WITH ev AS (
+      SELECT event_id, user_id FROM events
+    ), urls AS (
+      SELECT 'https://h' || CAST(user_id % 50 AS VARCHAR)
+             || '.example.org/p/' || CAST(event_id AS VARCHAR) AS url,
+             event_id, user_id
+      FROM ev
+    ), merged AS (
+      SELECT url, CASE WHEN event_id % 4 = 0 THEN 'done' ELSE 'pending' END AS state,
+             CAST(user_id % 10 AS BIGINT) AS priority,
+             CAST(0 AS BIGINT) AS updated_round
+      FROM urls
+      UNION ALL
+      SELECT url, 'done' AS state, CAST(user_id % 10 AS BIGINT) AS priority,
+             CAST(1 AS BIGINT) AS updated_round
+      FROM urls WHERE event_id % 3 = 0
+      UNION ALL
+      SELECT url, 'blocked' AS state, CAST(user_id % 10 AS BIGINT) AS priority,
+             CAST(2 AS BIGINT) AS updated_round
+      FROM urls WHERE event_id % 7 = 0
+      UNION ALL
+      SELECT 'https://new.example.org/p/' || CAST(event_id AS VARCHAR) AS url,
+             'pending' AS state, CAST(5 AS BIGINT) AS priority,
+             CAST(2 AS BIGINT) AS updated_round
+      FROM ev WHERE event_id % 5 = 0
+    ), ranked AS (
+      SELECT url, state, priority, updated_round,
+             row_number() OVER (PARTITION BY url
+                                ORDER BY updated_round DESC) AS rn
+      FROM merged
+    )
+    SELECT url, state, priority, updated_round
+    FROM ranked WHERE rn = 1
+"""
+
+
+@_q("crawl_compact_roundtrip", sql=_COMPACT_ROUNDTRIP_SQL)
+def crawl_compact_roundtrip(spark, sf_dir):
+    """Driver check of OFFLINE MAINTENANCE (crawl/scheduler.
+    compact_checkpoint — the rewrite_data_files + expire_snapshots analog,
+    S9's retention rotation scaled up): the same base + two delta rounds as
+    `crawl_frontier_pending_view`, committed as three rounds through the
+    real table format, then compacted — deltas folded into a round-2
+    snapshot (plus its pending sidecar), superseded partitions pruned,
+    superseded history expired — and the returned frame is the FULL
+    frontier read back from the compacted checkpoint (`load_frontier` at
+    the fold round, which after compaction reads the fresh snapshot with
+    zero deltas).  The DuckDB twin is the keep-latest window over
+    base ∪ deltas with no state filter, so a hash match proves the offline
+    fold ≡ the logical MERGE it replaced."""
+    import os
+    import tempfile
+
+    from logtemplatecrawler_spark.crawl.scheduler import (
+        CrawlConfig, _frontier_delta_dir, _round_dir, compact_checkpoint,
+        load_frontier, write_frontier_snapshots,
+    )
+    from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    url = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 50).cast("string"),
+        F.lit(".example.org/p/"), F.col("event_id").cast("string"),
+    )
+
+    def _frontier_rows(df, url_col, state_col, priority_col, rnd):
+        return with_frontier_keys(
+            df.select(url_col.alias("url"), state_col.alias("state"),
+                      priority_col.cast("int").alias("priority"))
+        ).select(
+            "url", "url_hash", "host", "salt", "priority",
+            F.lit(0).alias("depth"), "state",
+            F.lit(0).alias("round_added"),
+            F.lit(rnd).alias("updated_round"),
+        )
+
+    base = _frontier_rows(
+        ev, url,
+        F.when(F.col("event_id") % 4 == 0, "done").otherwise("pending"),
+        F.col("user_id") % 10, 0,
+    )
+    d1 = _frontier_rows(
+        ev.where(F.col("event_id") % 3 == 0), url, F.lit("done"),
+        F.col("user_id") % 10, 1,
+    )
+    d2 = _frontier_rows(
+        ev.where(F.col("event_id") % 7 == 0), url, F.lit("blocked"),
+        F.col("user_id") % 10, 2,
+    ).unionByName(_frontier_rows(
+        ev.where(F.col("event_id") % 5 == 0),
+        F.concat(F.lit("https://new.example.org/p/"),
+                 F.col("event_id").cast("string")),
+        F.lit("pending"), F.lit(5), 2,
+    ))
+    cfg = CrawlConfig(checkpoint_dir=tempfile.mkdtemp(prefix="compact_rt_"))
+    write_frontier_snapshots(spark, cfg, base, 0)
+    fmt = cfg.table_format
+    fmt.write_delta(d1, _frontier_delta_dir(cfg), 1)
+    fmt.write_delta(d2, _frontier_delta_dir(cfg), 2)
+    for rnd in (0, 1, 2):
+        os.makedirs(_round_dir(cfg, rnd), exist_ok=True)
+        fmt.commit_round(_round_dir(cfg, rnd))
+    compact_checkpoint(spark, cfg)
+    return load_frontier(spark, cfg, 2).select(
+        "url", "state",
+        F.col("priority").cast("bigint").alias("priority"),
+        F.col("updated_round").cast("bigint").alias("updated_round"),
+    )
+
+
 @_q("stream_windowed_metrics_drain", sql="""
     WITH pages AS (
       SELECT 'h' || CAST(user_id % 20 AS VARCHAR) || '.example.org' AS host,
