@@ -435,7 +435,13 @@ def with_seed_rank(spark: SparkSession, all_seeds: DataFrame):
     return ranked, offset, part
 
 
-def anti_join_committed(templates: DataFrame, neg: DataFrame) -> DataFrame:
+MAX_BROADCAST_BATCH_KEYS = 2_000_000  # ~120 MB of short strings hashed
+
+
+def anti_join_committed(templates: DataFrame, neg: DataFrame,
+                        n_batch: Optional[int] = None,
+                        max_broadcast_keys: int = MAX_BROADCAST_BATCH_KEYS,
+                        ) -> DataFrame:
     """Drop batch rows whose ``template`` OR ``parsed_template`` was already
     committed (the reference's two INDEPENDENT unique constraints,
     postgres_db.sql:236-261, checked per-row at
@@ -449,7 +455,21 @@ def anti_join_committed(templates: DataFrame, neg: DataFrame) -> DataFrame:
     Equivalent to ``batch ▷ neg`` on each key (x ∈ batch survives iff no
     neg row matches it — the semi-join keeps exactly the matching neg rows),
     but the per-round cost is one parallel scan of two narrow columns
-    instead of a full shuffle + hash-distinct of O(|all templates ever|)."""
+    instead of a full shuffle + hash-distinct of O(|all templates ever|).
+
+    Like the robots gate (robots.py::broadcast_fits), the broadcast
+    decision must be BOUNDED: a round over millions of hosts can extract
+    more template keys than a driver/executor can hold in a hashed
+    relation.  When the caller-supplied batch size exceeds
+    ``max_broadcast_keys``, fall back to the direct shuffled anti-join —
+    correct at any size, and at that batch scale the big-side shuffle is
+    amortized over a proportionally large round."""
+    if n_batch is not None and n_batch > max_broadcast_keys:
+        for key in ("template", "parsed_template"):
+            templates = templates.join(
+                neg.select(key).distinct(), key, "left_anti"
+            )
+        return templates
     # Both conflict sets derive from the INCOMING batch (the two checks are
     # conjunctive filters, so order/base don't matter) — deriving the second
     # key set from the once-filtered batch would duplicate the first join's
@@ -787,7 +807,11 @@ def run_crawl(spark: SparkSession, pages: DataFrame, seeds: DataFrame,
         # broadcast-anti those back onto the batch.  Plan-asserted
         # exchange-free on the neg side in tests/test_scale_plans.py.
         if neg is not None:
-            templates = anti_join_committed(templates, neg)
+            # the count doubles as the persist materializer (one cheap
+            # action over the cached batch) and the broadcast-size gate
+            templates = anti_join_committed(
+                templates, neg, n_batch=templates.count()
+            )
 
         bloom = None
         if cfg.discover_links:

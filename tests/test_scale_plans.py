@@ -419,6 +419,17 @@ def test_neg_cache_check_never_shuffles_committed_keys(spark, tmp_path):
     got = sorted(r["template"] for r in new.collect())
     want = sorted(r["template"] for r in old.collect())
     assert got == want and len(got) == 30, (len(got), got[:5])
+    # bounded broadcast: a batch too large to hash-relation must fall back
+    # to the direct shuffled anti-join (same robots-gate discipline) and
+    # still agree row-for-row
+    fb = anti_join_committed(batch, neg, n_batch=50, max_broadcast_keys=10)
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        fb_plan = _explain(fb, "simple")
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+    assert "BroadcastHashJoin" not in fb_plan, fb_plan
+    assert sorted(r["template"] for r in fb.collect()) == want
 
 
 def test_training_ops_plan_shapes(spark):
