@@ -3631,5 +3631,58 @@ def stream_content_dedup_drain(spark, sf_dir):
     return near_dup_verdicts(spark.read.parquet(out))
 
 
+@_q("crawl_url_seen_filter", sql="""
+    WITH frontier AS (
+      SELECT 'https://h' || CAST(user_id % 30 AS VARCHAR)
+             || '.example.org/p/' || CAST(event_id AS VARCHAR) AS url
+      FROM events
+    ), cands AS (
+      SELECT 'https://h' || CAST(user_id % 30 AS VARCHAR)
+             || '.example.org/p/' || CAST(event_id AS VARCHAR) AS url
+      FROM events WHERE event_id % 2 = 0
+      UNION ALL
+      SELECT 'https://new.example.org/o/' || CAST(event_id AS VARCHAR) AS url
+      FROM events WHERE event_id % 3 = 0
+    )
+    SELECT c.url FROM cands c
+    WHERE c.url NOT IN (SELECT url FROM frontier)
+""")
+def crawl_url_seen_filter(spark, sf_dir):
+    """J3 at crawl scale through the ENGINE's URL-seen machinery
+    (crawl/seen.py: `build_bloom` — native probe arithmetic →
+    groupBy(word).bit_or → 64 KiB-chunk collect → `BroadcastBloom` — then
+    `filter_unseen`'s bloom prune + exact anti-join decider): candidates
+    are half already-in-frontier urls and a disjoint new set; the output
+    must equal the plain anti-join because the bloom has NO false
+    negatives (a bloom-miss is definitely new) and every bloom-positive
+    goes through the exact string anti-join.  So the DuckDB twin IS the
+    plain NOT IN — a hash match proves the two-path union (definitely-new
+    ∪ checked) loses and invents nothing.  Drives the real numpy
+    membership UDF and the distributed build, not a restatement."""
+    from logtemplatecrawler_spark.crawl.frontier import with_frontier_keys
+    from logtemplatecrawler_spark.crawl.seen import (
+        BroadcastBloom, build_bloom, filter_unseen,
+    )
+
+    ev = _t(spark, sf_dir, "events").select("event_id", "user_id")
+    url = F.concat(
+        F.lit("https://h"), (F.col("user_id") % 30).cast("string"),
+        F.lit(".example.org/p/"), F.col("event_id").cast("string"),
+    )
+    frontier = with_frontier_keys(ev.select(url.alias("url"))).localCheckpoint()
+    cands = with_frontier_keys(
+        ev.where(F.col("event_id") % 2 == 0).select(url.alias("url"))
+        .unionByName(
+            ev.where(F.col("event_id") % 3 == 0).select(
+                F.concat(F.lit("https://new.example.org/o/"),
+                         F.col("event_id").cast("string")).alias("url")
+            )
+        )
+    )
+    bloom = build_bloom(frontier)
+    bcast = BroadcastBloom(spark.sparkContext, bloom)
+    return filter_unseen(cands, frontier, bloom=bcast).select("url")
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)
