@@ -137,12 +137,25 @@ def main() -> None:
         "stream_content_dedup_drain",
     ]
 
+    # r5 wave-5 additions: LM quality scoring, full-table semantic dedup
+    # (SemDeDup shape), lexicon scrubbing, sequence packing, split
+    # assignment.  Summed ONLY into `value_r5w5_suite`; all earlier suite
+    # definitions stay cross-round comparable.
+    headline_v6_extra = [
+        "text_lm_bigram_score",
+        "dedup_semantic_clustered_canonical",
+        "text_pii_scrub",
+        "curation_pack_sequences",
+        "curation_split_assign",
+    ]
+
     def one_pass():
         t = {}
         t["template_pipeline"] = _run_thunk(lambda: extract_templates(pages, dedup=True))
         t["politeness_pop"] = _run_thunk(lambda: pop_per_host(frontier_like, budget=2))
         for name in (headline + headline_v2_extra + headline_v3_extra
-                     + headline_v4_extra + headline_v5_extra):
+                     + headline_v4_extra + headline_v5_extra
+                     + headline_v6_extra):
             # construct INSIDE the timed region: query builders may
             # materialize eagerly (localCheckpoint'd index/signature
             # tables), and excluding that would silently flatter the
@@ -151,8 +164,10 @@ def main() -> None:
         old_set = ["template_pipeline", "politeness_pop"] + headline
         v2_set = old_set + headline_v2_extra
         r5_set = v2_set + headline_v3_extra + headline_v4_extra
+        r5w3_set = r5_set + headline_v5_extra
         return (t, sum(t[k] for k in old_set), sum(t[k] for k in v2_set),
-                sum(t[k] for k in r5_set), sum(t.values()))
+                sum(t[k] for k in r5_set), sum(t[k] for k in r5w3_set),
+                sum(t.values()))
 
     # Min-of-N: this VM's CPU steal arrives in multi-second bursts that
     # evade /proc/stat (BASELINE.md), so a single-pass number is a coin
@@ -164,14 +179,16 @@ def main() -> None:
     runs_full = []
     runs_r5 = []
     runs_r5w3 = []
+    runs_r5w5 = []
     per_query = []
     for _ in range(n_runs):
-        t, tot_old, tot_full, tot_r5, tot_r5w3 = one_pass()
+        t, tot_old, tot_full, tot_r5, tot_r5w3, tot_r5w5 = one_pass()
         per_query.append(t)
         runs.append(tot_old)
         runs_full.append(tot_full)
         runs_r5.append(tot_r5)
         runs_r5w3.append(tot_r5w3)
+        runs_r5w5.append(tot_r5w5)
     timings = {k: min(t[k] for t in per_query) for k in per_query[0]}
     total = min(runs)
 
@@ -185,10 +202,12 @@ def main() -> None:
         "value_full_suite": round(min(runs_full), 3),
         "value_r5_suite": round(min(runs_r5), 3),
         "value_r5w3_suite": round(min(runs_r5w3), 3),
+        "value_r5w5_suite": round(min(runs_r5w5), 3),
         "runs_sec": [round(r, 3) for r in runs],
         "runs_full_sec": [round(r, 3) for r in runs_full],
         "runs_r5_sec": [round(r, 3) for r in runs_r5],
         "runs_r5w3_sec": [round(r, 3) for r in runs_r5w3],
+        "runs_r5w5_sec": [round(r, 3) for r in runs_r5w5],
         "sf": sf,
         "bench_pages": n_pages,
         "pages_per_sec": round(n_pages / timings["template_pipeline"], 2),

@@ -3684,5 +3684,366 @@ def crawl_url_seen_filter(spark, sf_dir):
     return filter_unseen(cands, frontier, bloom=bcast).select("url")
 
 
+# ---------------------------------------------------------------------------
+# r5 wave 5: LM quality scoring, semantic dedup, scrubbing, packing, splits
+# ---------------------------------------------------------------------------
+
+# LM train split: docs with doc_id % _LM_TRAIN_MOD == 1 train the counts,
+# everything else is scored.  2% keeps the training corpus small enough that
+# ALL THREE scoring branches fire on the fixtures (verified at sf0.001 and
+# the driver's sf0.01 gate: ~12.3k bigram backoffs and ~26 unseen-unigram
+# fallbacks among ~26k scored tokens), so the hash pins the backoff logic,
+# not just the happy path.
+_LM_TRAIN_MOD = 50
+_LM_BACKOFF = 0.4  # stupid-backoff discount (Brants et al., 2007)
+
+
+@_q("text_lm_bigram_score", sql=f"""
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), toks AS (
+      SELECT doc_id, pos, w,
+             lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+      FROM words
+    ), uni AS (
+      SELECT w, count(*) AS c1 FROM words
+      WHERE doc_id % {_LM_TRAIN_MOD} = 1 GROUP BY w
+    ), tot AS (
+      SELECT CAST(count(*) AS DOUBLE) AS t FROM words
+      WHERE doc_id % {_LM_TRAIN_MOD} = 1
+    ), big AS (
+      SELECT prev, w, count(*) AS c2 FROM toks
+      WHERE prev IS NOT NULL AND doc_id % {_LM_TRAIN_MOD} = 1 GROUP BY 1, 2
+    ), scored AS (
+      SELECT t.doc_id,
+             CASE WHEN b.c2 IS NOT NULL
+                    THEN ln(CAST(b.c2 AS DOUBLE) / up.c1)
+                  WHEN uw.c1 IS NOT NULL
+                    THEN ln({_LM_BACKOFF} * uw.c1 / (SELECT t FROM tot))
+                  ELSE ln({_LM_BACKOFF} / (SELECT t FROM tot)) END AS lp
+      FROM toks t
+      LEFT JOIN big b ON b.prev = t.prev AND b.w = t.w
+      LEFT JOIN uni up ON up.w = t.prev
+      LEFT JOIN uni uw ON uw.w = t.w
+      WHERE t.prev IS NOT NULL AND t.doc_id % {_LM_TRAIN_MOD} <> 1
+    )
+    SELECT doc_id, count(*) AS n_scored,
+           CAST(sum(CAST(round(lp * 1000000) AS BIGINT)) AS BIGINT)
+             AS sum_lp_micro
+    FROM scored GROUP BY doc_id
+""")
+def text_lm_bigram_score(spark, sf_dir):
+    """LM-based quality scoring (the CCNet/Gopher filter shape): a bigram
+    stupid-backoff model (Brants et al., 2007) trained on a deterministic
+    2% document split scores every held-out document by its total token
+    log-probability.  Scoring rule per token: seen bigram →
+    ln(c2/c1(prev)); unseen bigram, seen word → ln(0.4·c1(w)/T); OOV word
+    → ln(0.4/T).
+
+    Scale shape: the model IS two aggregation outputs — unigram and bigram
+    count tables built with map-side partial aggregation over the exploded
+    token table — and scoring is broadcast joins against them (at 100 TB
+    the unigram table is vocab-sized and always broadcastable; a bigram
+    table beyond the broadcast budget degrades to one shuffle join on the
+    bigram key — same plan Catalyst picks automatically once broadcast
+    hints are dropped).  The only window is per-document (lag over pos),
+    so no global ordering anywhere.
+
+    Cross-engine float determinism: each token's log-prob is snapped to
+    BIGINT micro-units BEFORE the per-doc sum, so the aggregate is exact
+    integer arithmetic in both engines — immune to summation order, unlike
+    round(avg(...)) (Java Math.log vs libm differ only below the 1e-6
+    snap)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    toks = words.withColumn(
+        "prev", F.lag("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    ).where(F.col("prev").isNotNull())
+    is_train = F.col("doc_id") % _LM_TRAIN_MOD == 1
+    uni = words.where(is_train).groupBy("w").agg(F.count("*").alias("c1"))
+    tot = words.where(is_train).agg(F.count("*").cast("double").alias("t"))
+    big = (
+        toks.where(is_train)
+        .groupBy("prev", "w").agg(F.count("*").alias("c2"))
+    )
+    scored = (
+        toks.where(~is_train)
+        .join(F.broadcast(big), ["prev", "w"], "left")
+        .join(
+            F.broadcast(
+                uni.select(F.col("w").alias("prev"), F.col("c1").alias("c1_prev"))
+            ),
+            "prev", "left",
+        )
+        .join(
+            F.broadcast(uni.select("w", F.col("c1").alias("c1_w"))), "w", "left"
+        )
+        .crossJoin(F.broadcast(tot))
+    )
+    lp = (
+        F.when(
+            F.col("c2").isNotNull(),
+            F.log(F.col("c2").cast("double") / F.col("c1_prev")),
+        )
+        .when(
+            F.col("c1_w").isNotNull(),
+            F.log(F.lit(_LM_BACKOFF) * F.col("c1_w") / F.col("t")),
+        )
+        .otherwise(F.log(F.lit(_LM_BACKOFF) / F.col("t")))
+    )
+    return scored.groupBy("doc_id").agg(
+        F.count("*").alias("n_scored"),
+        F.sum(F.round(lp * 1000000).cast("bigint")).cast("bigint")
+        .alias("sum_lp_micro"),
+    )
+
+
+# Lexicon-based scrubbing: the PII-redaction shape (emails / phone numbers /
+# ids at production; here a denylist drawn from the fixture vocabulary so
+# the fixtures actually exercise replacement).  Word-boundary alternation
+# keeps to the regex subset where Java regex and RE2 agree.
+_SCRUB_PATTERN = r"\b(customer|value)\b"
+_SCRUB_TOKEN = "<SCRUBBED>"
+
+
+@_q("text_pii_scrub", sql=f"""
+    SELECT doc_id,
+           md5(regexp_replace(text, '{_SCRUB_PATTERN}', '{_SCRUB_TOKEN}', 'g'))
+             AS red_fp,
+           CAST(len(regexp_extract_all(text, '{_SCRUB_PATTERN}')) AS BIGINT)
+             AS n_hits
+    FROM documents
+""")
+def text_pii_scrub(spark, sf_dir):
+    """PII/denylist redaction: every match of a word-boundary lexicon
+    pattern is replaced with a scrub token, and the per-document hit count
+    is kept for curation stats.  Output fingerprints the REDACTED text so
+    the hash pins the actual replacement semantics, not just the count.
+
+    Scale shape: pure native string expressions (regexp_replace /
+    regexp_count) inside whole-stage codegen — embarrassingly parallel, no
+    shuffle, no UDF.  At production the lexicon alternation is generated
+    from the denylist the same way the LSH SQL twins generate from shared
+    constants; patterns stay within the Java∩RE2 regex subset so engines
+    agree."""
+    pat = _SCRUB_PATTERN
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.md5(F.regexp_replace("text", pat, _SCRUB_TOKEN)).alias("red_fp"),
+        F.regexp_count("text", F.lit(pat)).cast("bigint").alias("n_hits"),
+    )
+
+
+_PACK_TARGET = 512  # tokens per training chunk
+_PACK_SHARDS = 8    # independent packing streams
+
+
+@_q("curation_pack_sequences", sql=f"""
+    WITH sized AS (
+      SELECT doc_id, doc_id % {_PACK_SHARDS} AS shard,
+             length(text) - length(replace(text, ' ', '')) + 1 AS n_tokens
+      FROM documents
+    ), packed AS (
+      SELECT doc_id, shard, CAST(n_tokens AS BIGINT) AS n_tokens,
+             sum(n_tokens) OVER (PARTITION BY shard ORDER BY doc_id
+                                 ROWS UNBOUNDED PRECEDING) - n_tokens
+               AS start_off
+      FROM sized
+    )
+    SELECT doc_id, shard, n_tokens,
+           CAST(floor(start_off / {_PACK_TARGET}) AS BIGINT) AS chunk_id,
+           CAST(start_off % {_PACK_TARGET} AS BIGINT) AS chunk_offset
+    FROM packed
+""")
+def curation_pack_sequences(spark, sf_dir):
+    """Sequence packing for LM training: documents are concatenated in
+    deterministic order within independent shards and split into
+    fixed-token chunks (streaming-concat packing — the standard pretraining
+    batcher); each document gets (shard, chunk_id, chunk_offset) so a
+    writer can emit chunk files directly.
+
+    Scale shape: the ONLY stateful step is a running sum windowed BY SHARD
+    (partitionBy(shard).orderBy(doc_id)) — no global window, no global
+    sort; shards are the parallelism unit exactly like output file streams
+    at 100 TB (shard count scales with cluster size; doc_id here, a
+    content hash at production).  All arithmetic is exact bigint, so the
+    cross-engine hash has no float surface."""
+    docs = _t(spark, sf_dir, "documents")
+    t = F.col("text")
+    sized = docs.select(
+        "doc_id",
+        (F.col("doc_id") % _PACK_SHARDS).alias("shard"),
+        (F.length(t) - F.length(F.regexp_replace(t, " ", "")) + 1)
+        .cast("bigint").alias("n_tokens"),
+    )
+    w = (
+        Window.partitionBy("shard").orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    packed = sized.withColumn(
+        "start_off", F.sum("n_tokens").over(w) - F.col("n_tokens")
+    )
+    return packed.select(
+        "doc_id", "shard", "n_tokens",
+        F.floor(F.col("start_off") / _PACK_TARGET).cast("bigint")
+        .alias("chunk_id"),
+        (F.col("start_off") % _PACK_TARGET).cast("bigint")
+        .alias("chunk_offset"),
+    )
+
+
+@_q("curation_split_assign", sql="""
+    WITH b AS (
+      SELECT doc_id,
+             (ascii(substr(md5(text), 1, 1)) * 256
+              + ascii(substr(md5(text), 2, 1))) % 100 AS bucket
+      FROM documents
+    )
+    SELECT doc_id, CAST(bucket AS BIGINT) AS bucket,
+           CASE WHEN bucket >= 98 THEN 'test'
+                WHEN bucket >= 96 THEN 'val'
+                ELSE 'train' END AS split
+    FROM b
+""")
+def curation_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (96/2/2) keyed on CONTENT
+    (md5 of text), not position — so re-sharding, re-crawling, or
+    re-ordering the corpus never migrates a document across splits (the
+    leakage-safety property an id- or row-number-based split lacks; same
+    reason exact dedup keys on content hash).  Bucket arithmetic uses
+    ascii() of the md5 hex prefix — portable across engines without
+    hex→int casts.
+
+    Scale shape: stateless per-row expressions, whole-stage codegen, no
+    shuffle; the split becomes a partition column at write time."""
+    h = F.md5("text")
+    bucket = (
+        (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
+        % 100
+    )
+    return _t(spark, sf_dir, "documents").select(
+        "doc_id",
+        bucket.cast("bigint").alias("bucket"),
+        F.when(bucket >= 98, "test")
+        .when(bucket >= 96, "val")
+        .otherwise("train").alias("split"),
+    )
+
+
+_SEM_CELLS = 8
+_SEM_TAU = 0.35  # fixture vectors are near-orthogonal; production ~0.95
+
+
+@_q("dedup_semantic_clustered_canonical", sql=f"""
+    WITH RECURSIVE flat AS (
+      SELECT vec_id, generate_subscripts(embedding, 1) AS i,
+             CAST(unnest(embedding) AS DOUBLE) AS x
+      FROM embeddings
+    ), cents AS (
+      SELECT vec_id % {_SEM_CELLS} AS k, i, avg(x) AS c FROM flat GROUP BY 1, 2
+    ), dists AS (
+      SELECT f.vec_id, c.k, sum((f.x - c.c) * (f.x - c.c)) AS d2
+      FROM flat f JOIN cents c ON f.i = c.i GROUP BY 1, 2
+    ), assign AS (
+      SELECT vec_id, k AS cell FROM (
+        SELECT vec_id, k, row_number() OVER (
+          PARTITION BY vec_id ORDER BY round(d2, 6), k) AS rn
+        FROM dists) WHERE rn = 1
+    ), norms AS (
+      SELECT vec_id, sqrt(sum(x * x)) AS nrm FROM flat GROUP BY vec_id
+    ), cellvec AS (
+      SELECT a.cell, f.vec_id, f.i, f.x
+      FROM flat f JOIN assign a ON a.vec_id = f.vec_id
+    ), dots AS (
+      SELECT fa.vec_id AS vec_a, fb.vec_id AS vec_b, sum(fa.x * fb.x) AS dot
+      FROM cellvec fa JOIN cellvec fb
+        ON fa.i = fb.i AND fa.cell = fb.cell AND fa.vec_id < fb.vec_id
+      GROUP BY 1, 2
+    ), cpairs AS (
+      SELECT vec_a, vec_b FROM dots
+      JOIN norms na ON na.vec_id = vec_a
+      JOIN norms nb ON nb.vec_id = vec_b
+      WHERE round(dot / (na.nrm * nb.nrm), 6) >= {_SEM_TAU}
+    ), edges AS (
+      SELECT vec_a AS a, vec_b AS b FROM cpairs
+      UNION ALL SELECT vec_b AS a, vec_a AS b FROM cpairs
+    ), reach AS (
+      SELECT vec_id AS src, vec_id AS dst FROM embeddings
+      UNION
+      SELECT r.src, e.b AS dst FROM reach r JOIN edges e ON e.a = r.dst
+    )
+    SELECT src AS vec_id, min(dst) AS cluster_id,
+           (src = min(dst)) AS is_canonical
+    FROM reach GROUP BY src
+""")
+def dedup_semantic_clustered_canonical(spark, sf_dir):
+    """Semantic dedup over the FULL embedding table, clustered — the
+    SemDeDup shape (Abbas et al., 2023): IVF coarse assignment partitions
+    vectors into cells (same deterministic centroids as `ann_ivf_assign`),
+    exact cosine pairs are generated ONLY within cells, and the shared
+    connected-components operator keeps one canonical document per
+    near-dup cluster.
+
+    Unlike `dedup_embedding_cosine_canonical` (exact all-pairs over a
+    bounded slice — the exactness oracle), this entry runs the whole table
+    through the scale path: the quadratic step is confined to cells, so
+    pair fan-out is Σ|cell|²/2 instead of N²/2 — with k ∝ N cells (k=√N
+    typical) that is O(N) pairs at fixed cell size, the documented recall
+    trade being pairs that straddle a cell boundary.  The within-cell
+    pair join co-partitions on (cell, i), so each shuffle partition holds
+    one cell's long-form slice; at 100 TB the same plan swaps the
+    DataFrame dot-product for a per-cell numpy matmul via applyInPandas
+    without touching the surrounding pipeline.  Distances and cosines are
+    rounded before compare for cross-engine argmin/threshold stability;
+    the DuckDB twin composes the identical CTEs plus the recursive-CTE
+    closure."""
+    from logtemplatecrawler_spark.operators.components import (
+        connected_components,
+    )
+
+    emb = _t(spark, sf_dir, "embeddings")
+    flat = emb.select(
+        "vec_id", F.posexplode("embedding").alias("i", "xf")
+    ).select("vec_id", "i", F.col("xf").cast("double").alias("x"))
+    cents = flat.groupBy((F.col("vec_id") % _SEM_CELLS).alias("k"), "i").agg(
+        F.avg("x").alias("c")
+    )
+    assign = _assign_nearest(flat, cents, "cell")
+    norms = flat.groupBy("vec_id").agg(
+        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    )
+    cellvec = flat.join(assign, "vec_id").localCheckpoint()
+    fa, fb = cellvec.alias("fa"), cellvec.alias("fb")
+    dots = (
+        fa.join(
+            fb,
+            (F.col("fa.i") == F.col("fb.i"))
+            & (F.col("fa.cell") == F.col("fb.cell"))
+            & (F.col("fa.vec_id") < F.col("fb.vec_id")),
+        )
+        .groupBy(
+            F.col("fa.vec_id").alias("vec_a"), F.col("fb.vec_id").alias("vec_b")
+        )
+        .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
+    )
+    na, nb = norms.alias("na"), norms.alias("nb")
+    cos = F.round(F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")), 6)
+    pairs = (
+        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
+        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
+        .where(cos >= _SEM_TAU)
+        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+    )
+    labels, _ = connected_components(emb.select("vec_id"), pairs,
+                                     id_col="vec_id")
+    return labels.withColumn(
+        "is_canonical", F.col("vec_id") == F.col("cluster_id")
+    )
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)
