@@ -533,3 +533,38 @@ def test_winnow_plan_shapes(spark):
     )
     assert "CartesianProduct" not in pairs_plan, pairs_plan
     assert "BroadcastNestedLoopJoin" not in pairs_plan, pairs_plan
+
+
+def test_wave5_curation_plan_shapes(spark):
+    """Wave-5 entries keep the shapes their docstrings claim: scrub and
+    split are shuffle-free per-row expressions; packing's only exchange is
+    the shard hash partitioning (no single-partition window); the LM
+    scorer's count-table joins all broadcast; and the semantic dedup's
+    within-cell pair join is an equi-join, never a cartesian/nested-loop
+    product."""
+    from logtemplatecrawler_spark.plans.harness import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    for name in ("text_pii_scrub", "curation_split_assign"):
+        plan = _explain(QUERIES[name](spark, sf), "simple")
+        assert "Exchange" not in plan, (name, plan)
+        assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
+            name, plan,
+        )
+
+    pack = _explain(QUERIES["curation_pack_sequences"](spark, sf), "simple")
+    assert "SinglePartition" not in pack, pack
+    assert "hashpartitioning(shard" in pack, pack
+
+    lm = _explain(QUERIES["text_lm_bigram_score"](spark, sf), "simple")
+    # bigram + two unigram roles + the corpus-total scalar = 4 broadcasts
+    assert lm.count("BroadcastHashJoin") >= 3, lm
+    assert "CartesianProduct" not in lm, lm
+    # the lag window must partition by doc_id — never a global window (the
+    # only single-partition exchange allowed is the one-row corpus total)
+    assert "hashpartitioning(doc_id" in lm, lm
+
+    sem = _explain(QUERIES["dedup_semantic_clustered_canonical"](spark, sf),
+                   "simple")
+    assert "CartesianProduct" not in sem, sem
+    assert "BroadcastNestedLoopJoin" not in sem, sem
