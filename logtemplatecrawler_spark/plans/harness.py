@@ -4045,5 +4045,111 @@ def dedup_semantic_clustered_canonical(spark, sf_dir):
     )
 
 
+@_q("text_repetition_stats", sql="""
+    WITH words AS (
+      SELECT doc_id, generate_subscripts(string_split(text, ' '), 1) AS pos,
+             unnest(string_split(text, ' ')) AS w
+      FROM documents
+    ), wc AS (
+      SELECT doc_id, w, count(*) AS c FROM words GROUP BY 1, 2
+    ), uni AS (
+      SELECT doc_id, CAST(sum(c) AS BIGINT) AS n_tokens,
+             count(*) AS n_distinct_words,
+             CAST(max(c) AS BIGINT) AS top_word_count
+      FROM wc GROUP BY doc_id
+    ), bigr AS (
+      SELECT doc_id, prev, w FROM (
+        SELECT doc_id, w,
+               lag(w) OVER (PARTITION BY doc_id ORDER BY pos) AS prev
+        FROM words) WHERE prev IS NOT NULL
+    ), bi AS (
+      SELECT doc_id, count(DISTINCT (prev, w)) AS n_distinct_bigrams
+      FROM bigr GROUP BY doc_id
+    )
+    SELECT uni.doc_id, n_tokens, n_distinct_words, top_word_count,
+           bi.n_distinct_bigrams
+    FROM uni JOIN bi ON bi.doc_id = uni.doc_id
+""")
+def text_repetition_stats(spark, sf_dir):
+    """Within-document repetition statistics — the Gopher repetition-filter
+    family (Rae et al., 2021: docs dominated by one token or by repeated
+    n-grams are boilerplate/spam): per doc, token count, distinct-word
+    count, the top word's frequency, and distinct-bigram count.  The
+    downstream filter thresholds ratios of these (top_word_count/n_tokens,
+    n_distinct_bigrams/(n_tokens-1)); the entry emits the exact integer
+    numerators/denominators so the cross-engine hash has no float surface.
+
+    Scale shape: two per-(doc, gram) partial-aggregated groupBys + one
+    per-doc rollup joined on doc_id — no windows beyond the per-doc lag,
+    no corpus-global state at all (unlike the LM scorer, this filter is
+    embarrassingly doc-parallel)."""
+    docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
+    words = docs.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
+    )
+    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
+    uni = wc.groupBy("doc_id").agg(
+        F.sum("c").cast("bigint").alias("n_tokens"),
+        F.count("*").alias("n_distinct_words"),
+        F.max("c").cast("bigint").alias("top_word_count"),
+    )
+    bigr = words.withColumn(
+        "prev", F.lag("w").over(Window.partitionBy("doc_id").orderBy("pos"))
+    ).where(F.col("prev").isNotNull())
+    bi = bigr.groupBy("doc_id").agg(
+        F.countDistinct("prev", "w").alias("n_distinct_bigrams")
+    )
+    return uni.join(bi, "doc_id").select(
+        "doc_id", "n_tokens", "n_distinct_words", "top_word_count",
+        "n_distinct_bigrams",
+    )
+
+
+@_q("curation_domain_mix_sample", sql="""
+    WITH quota AS (
+      SELECT CAST(min(c) AS BIGINT) AS q FROM (
+        SELECT lang, count(*) AS c FROM documents GROUP BY lang)
+    ), ranked AS (
+      SELECT doc_id, lang,
+             row_number() OVER (PARTITION BY lang
+                                ORDER BY md5(text), doc_id) AS rnk
+      FROM documents
+    )
+    SELECT doc_id, lang, CAST(rnk AS BIGINT) AS rnk
+    FROM ranked WHERE rnk <= (SELECT q FROM quota)
+""")
+def curation_domain_mix_sample(spark, sf_dir):
+    """Data-mix rebalancing: stratified downsampling to a uniform
+    per-language mix (every lang contributes exactly min-group-size docs
+    — the pretraining domain-weighting step, with the uniform target as
+    the deterministic special case; arbitrary target weights swap the
+    quota scalar for a per-source quota table joined the same way).
+    Selection ranks by content hash within each group, so the sample is
+    reproducible and re-ordering the corpus never changes it.  The fixture
+    corpus is lang-skewed (en ≈ 40%), so the quota genuinely cuts rows.
+
+    Scale shape: quota = one tiny per-source aggregate broadcast as a
+    scalar; ranking is a window partitioned BY GROUP (at 100 TB groups
+    are domains or languages — many partitions, no global window; a skewed
+    mega-group ranks inside its own partition only).  The quota here is
+    dynamic (a broadcast 1-row filter after the window); a production run
+    that fixes the quota as a literal additionally gets the map-side
+    WindowGroupLimit cut, as `w1_politeness_queue` demonstrates."""
+    docs = _t(spark, sf_dir, "documents")
+    quota = (
+        docs.groupBy("lang").agg(F.count("*").alias("c"))
+        .agg(F.min("c").cast("bigint").alias("q"))
+    )
+    w = Window.partitionBy("lang").orderBy(F.md5("text"), "doc_id")
+    ranked = docs.select(
+        "doc_id", "lang", F.row_number().over(w).cast("bigint").alias("rnk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(quota))
+        .where(F.col("rnk") <= F.col("q"))
+        .select("doc_id", "lang", "rnk")
+    )
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)

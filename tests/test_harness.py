@@ -590,3 +590,46 @@ def test_pii_scrub_redacts(spark):
             hit_docs += 1
             assert "customer" not in expect.replace("<SCRUBBED>", "")
     assert hit_docs > 0, "fixture lexicon never matched — scrub untested"
+
+
+def test_repetition_stats_match_python_replay(spark):
+    """The Gopher-style repetition numerators/denominators must equal an
+    exact Python recount per document."""
+    rows = {r["doc_id"]: r for r in
+            QUERIES["text_repetition_stats"](spark, SF_DIR).collect()}
+    docs = spark.read.parquet(f"{SF_DIR}/documents.parquet") \
+        .select("doc_id", "text").collect()
+    assert len(rows) == len(docs)
+    for d in docs:
+        ws = d["text"].split(" ")
+        r = rows[d["doc_id"]]
+        assert r["n_tokens"] == len(ws)
+        assert r["n_distinct_words"] == len(set(ws))
+        counts = {}
+        for w_ in ws:
+            counts[w_] = counts.get(w_, 0) + 1
+        assert r["top_word_count"] == max(counts.values())
+        assert r["n_distinct_bigrams"] == len(set(zip(ws, ws[1:])))
+
+
+def test_domain_mix_sample_balanced(spark):
+    """Stratified downsampling must emit EXACTLY quota rows per language
+    (quota = smallest language's count), with ranks 1..quota, and must be
+    reproducible."""
+    rows = QUERIES["curation_domain_mix_sample"](spark, SF_DIR).collect()
+    lang_counts = {
+        r["lang"]: r["c"]
+        for r in spark.read.parquet(f"{SF_DIR}/documents.parquet")
+        .groupBy("lang").count().withColumnRenamed("count", "c").collect()
+    }
+    q = min(lang_counts.values())
+    assert max(lang_counts.values()) > q, "fixture must be lang-skewed"
+    per_lang = {}
+    for r in rows:
+        per_lang.setdefault(r["lang"], []).append(r["rnk"])
+    assert set(per_lang) == set(lang_counts)
+    for lang, rnks in per_lang.items():
+        assert sorted(rnks) == list(range(1, q + 1)), lang
+    again = sorted((r["doc_id"], r["rnk"]) for r in
+                   QUERIES["curation_domain_mix_sample"](spark, SF_DIR).collect())
+    assert again == sorted((r["doc_id"], r["rnk"]) for r in rows)

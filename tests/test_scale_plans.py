@@ -568,3 +568,20 @@ def test_wave5_curation_plan_shapes(spark):
                    "simple")
     assert "CartesianProduct" not in sem, sem
     assert "BroadcastNestedLoopJoin" not in sem, sem
+
+
+def test_wave5_tail_plan_shapes(spark):
+    """`text_repetition_stats` is pure per-doc aggregation (no cartesian,
+    no Python stages); `curation_domain_mix_sample` windows BY LANG (never
+    a global window) and takes the quota as a broadcast."""
+    from logtemplatecrawler_spark.plans.harness import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    rep = _explain(QUERIES["text_repetition_stats"](spark, sf), "simple")
+    assert "CartesianProduct" not in rep, rep
+    assert "ArrowEvalPython" not in rep and "BatchEvalPython" not in rep, rep
+
+    mix = _explain(QUERIES["curation_domain_mix_sample"](spark, sf), "simple")
+    assert "hashpartitioning(lang" in mix, mix
+    assert "CartesianProduct" not in mix, mix
+    assert "BroadcastNestedLoopJoin" in mix or "BroadcastExchange" in mix, mix
