@@ -147,6 +147,8 @@ def main() -> None:
         "text_pii_scrub",
         "curation_pack_sequences",
         "curation_split_assign",
+        "text_repetition_stats",
+        "curation_domain_mix_sample",
     ]
 
     def one_pass():

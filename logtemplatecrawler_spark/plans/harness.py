@@ -4000,7 +4000,14 @@ def dedup_semantic_clustered_canonical(spark, sf_dir):
     without touching the surrounding pipeline.  Distances and cosines are
     rounded before compare for cross-engine argmin/threshold stability;
     the DuckDB twin composes the identical CTEs plus the recursive-CTE
-    closure."""
+    closure.
+
+    The within-cell dot products stay on the ARRAY form via native
+    zip_with + aggregate (sequential JVM fold, deterministic order) — one
+    pair row per candidate instead of the 64×-exploded long form the
+    oracle states, cutting the join fan-out by the dimensionality.  Both
+    engines' float sums land on the same value at the 6-dp rounding,
+    exactly the device every other float compare in this registry uses."""
     from logtemplatecrawler_spark.operators.components import (
         connected_components,
     )
@@ -4013,30 +4020,34 @@ def dedup_semantic_clustered_canonical(spark, sf_dir):
         F.avg("x").alias("c")
     )
     assign = _assign_nearest(flat, cents, "cell")
-    norms = flat.groupBy("vec_id").agg(
-        F.sqrt(F.sum(F.col("x") * F.col("x"))).alias("nrm")
+    sq_sum = F.aggregate(
+        "embedding", F.lit(0.0),
+        lambda acc, x: acc + x.cast("double") * x.cast("double"),
     )
-    cellvec = flat.join(assign, "vec_id").localCheckpoint()
-    fa, fb = cellvec.alias("fa"), cellvec.alias("fb")
-    dots = (
-        fa.join(
-            fb,
-            (F.col("fa.i") == F.col("fb.i"))
-            & (F.col("fa.cell") == F.col("fb.cell"))
-            & (F.col("fa.vec_id") < F.col("fb.vec_id")),
-        )
-        .groupBy(
-            F.col("fa.vec_id").alias("vec_a"), F.col("fb.vec_id").alias("vec_b")
-        )
-        .agg(F.sum(F.col("fa.x") * F.col("fb.x")).alias("dot"))
+    vec = (
+        emb.join(assign, "vec_id")
+        .select("vec_id", "cell", "embedding", F.sqrt(sq_sum).alias("nrm"))
+        .localCheckpoint()
     )
-    na, nb = norms.alias("na"), norms.alias("nb")
-    cos = F.round(F.col("dot") / (F.col("na.nrm") * F.col("nb.nrm")), 6)
+    a, b = vec.alias("a"), vec.alias("b")
+    dot = F.aggregate(
+        F.zip_with(
+            F.col("a.embedding"), F.col("b.embedding"),
+            lambda x, y: x.cast("double") * y.cast("double"),
+        ),
+        F.lit(0.0), lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
     pairs = (
-        dots.join(na, F.col("na.vec_id") == F.col("vec_a"))
-        .join(nb, F.col("nb.vec_id") == F.col("vec_b"))
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .where(cos >= _SEM_TAU)
-        .select(F.col("vec_a").alias("doc_a"), F.col("vec_b").alias("doc_b"))
+        .select(
+            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
+        )
     )
     labels, _ = connected_components(emb.select("vec_id"), pairs,
                                      id_col="vec_id")

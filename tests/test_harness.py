@@ -230,15 +230,20 @@ def test_connected_components_one_job_per_iteration(spark):
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
     assert got == {i: 0 for i in range(8)}
-    assert iters == 8  # 7 propagation hops + 1 fixpoint confirmation
+    # r5: pointer jumping + edge contraction turn the 7-hop path (plain
+    # hash-min: 8 rounds) into O(log diameter) rounds
+    assert iters <= 5, iters
     jobs = len(sc.statusTracker().getJobIdsForGroup("cc-jobs"))
-    # 2 setup checkpoints + iters counts + the final collect (+1 slack for
-    # the first broadcast build)
-    assert jobs <= iters + 4, jobs
+    # r5 accounting: per round, ONE change-count job plus at most one job
+    # materializing the lazily-checkpointed contracted edge table (the r4
+    # redundant join+count bookkeeping job stays gone); plus 2 setup
+    # checkpoints and the final collect.  The contraction trades ≤1 extra
+    # SHRINKING-edge job per round for O(log d) rounds instead of d.
+    assert jobs <= 2 * iters + 4, jobs
 
     # the cap raises instead of returning partial labels
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, pairs, max_iters=3)
+        connected_components(nodes, pairs, max_iters=1)
 
 
 def test_kmeans_refine_lloyd_monotone(spark):
