@@ -151,13 +151,22 @@ def main() -> None:
         "curation_domain_mix_sample",
     ]
 
+    # r5 wave-6 additions: the host-graph iterative operators (fixed-point
+    # PageRank crawl prioritization, delta-frontier BFS depth).  Summed
+    # ONLY into `value_r5w6_suite`; every earlier suite definition stays
+    # cross-round comparable.
+    headline_v7_extra = [
+        "crawl_host_rank",
+        "crawl_bfs_depth",
+    ]
+
     def one_pass():
         t = {}
         t["template_pipeline"] = _run_thunk(lambda: extract_templates(pages, dedup=True))
         t["politeness_pop"] = _run_thunk(lambda: pop_per_host(frontier_like, budget=2))
         for name in (headline + headline_v2_extra + headline_v3_extra
                      + headline_v4_extra + headline_v5_extra
-                     + headline_v6_extra):
+                     + headline_v6_extra + headline_v7_extra):
             # construct INSIDE the timed region: query builders may
             # materialize eagerly (localCheckpoint'd index/signature
             # tables), and excluding that would silently flatter the
@@ -167,9 +176,10 @@ def main() -> None:
         v2_set = old_set + headline_v2_extra
         r5_set = v2_set + headline_v3_extra + headline_v4_extra
         r5w3_set = r5_set + headline_v5_extra
+        r5w5_set = r5w3_set + headline_v6_extra
         return (t, sum(t[k] for k in old_set), sum(t[k] for k in v2_set),
                 sum(t[k] for k in r5_set), sum(t[k] for k in r5w3_set),
-                sum(t.values()))
+                sum(t[k] for k in r5w5_set), sum(t.values()))
 
     # Min-of-N: this VM's CPU steal arrives in multi-second bursts that
     # evade /proc/stat (BASELINE.md), so a single-pass number is a coin
@@ -182,15 +192,17 @@ def main() -> None:
     runs_r5 = []
     runs_r5w3 = []
     runs_r5w5 = []
+    runs_r5w6 = []
     per_query = []
     for _ in range(n_runs):
-        t, tot_old, tot_full, tot_r5, tot_r5w3, tot_r5w5 = one_pass()
+        t, tot_old, tot_full, tot_r5, tot_r5w3, tot_r5w5, tot_r5w6 = one_pass()
         per_query.append(t)
         runs.append(tot_old)
         runs_full.append(tot_full)
         runs_r5.append(tot_r5)
         runs_r5w3.append(tot_r5w3)
         runs_r5w5.append(tot_r5w5)
+        runs_r5w6.append(tot_r5w6)
     timings = {k: min(t[k] for t in per_query) for k in per_query[0]}
     total = min(runs)
 
@@ -205,11 +217,13 @@ def main() -> None:
         "value_r5_suite": round(min(runs_r5), 3),
         "value_r5w3_suite": round(min(runs_r5w3), 3),
         "value_r5w5_suite": round(min(runs_r5w5), 3),
+        "value_r5w6_suite": round(min(runs_r5w6), 3),
         "runs_sec": [round(r, 3) for r in runs],
         "runs_full_sec": [round(r, 3) for r in runs_full],
         "runs_r5_sec": [round(r, 3) for r in runs_r5],
         "runs_r5w3_sec": [round(r, 3) for r in runs_r5w3],
         "runs_r5w5_sec": [round(r, 3) for r in runs_r5w5],
+        "runs_r5w6_sec": [round(r, 3) for r in runs_r5w6],
         "sf": sf,
         "bench_pages": n_pages,
         "pages_per_sec": round(n_pages / timings["template_pipeline"], 2),

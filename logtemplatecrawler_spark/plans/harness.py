@@ -4162,5 +4162,236 @@ def curation_domain_mix_sample(spark, sf_dir):
     )
 
 
+# -- host-graph PageRank (crawl prioritization) -----------------------------
+#
+# Fixed-point integer PageRank: every quantity is a bigint "mass unit"
+# (initial mass _PR_SCALE per host, damping 0.85 expressed as *85 div 100,
+# truncating division throughout).  Integer arithmetic is associative, so
+# the driver hash matches REGARDLESS of Spark/DuckDB aggregation order —
+# no float sum-order hazard, no round() epsilon.  The Spark loop and the
+# unrolled-CTE SQL twin are generated from the same constants below.
+
+_PR_ITERS = 3
+_PR_SCALE = 1_000_000_000
+_PR_HOSTS = 60          # host id = residue mod 60
+_PR_SRC_CAP = 55        # hosts 55-59 never link out -> genuine dangling mass
+
+
+def _host_rank_sql(iters: int = _PR_ITERS) -> str:
+    head = f"""
+    WITH e1 AS (
+      SELECT event_id % {_PR_HOSTS} AS src,
+             (event_id * 7 + 3) % {_PR_HOSTS} AS dst
+      FROM events
+    ), e2 AS (
+      SELECT event_id % {_PR_HOSTS} AS src,
+             (event_id * 13 + 5) % {_PR_HOSTS} AS dst
+      FROM events WHERE event_id % 3 = 0
+    ), edges AS (
+      SELECT DISTINCT src, dst
+      FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      WHERE src < {_PR_SRC_CAP} AND src <> dst
+    ), nodes AS (
+      SELECT DISTINCT src AS host FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), outdeg AS (
+      SELECT src, count(*) AS deg FROM edges GROUP BY src
+    ), nn AS (SELECT count(*) AS n FROM nodes
+    ), r0 AS (SELECT host, CAST({_PR_SCALE} AS BIGINT) AS pr FROM nodes)"""
+    steps = []
+    for t in range(iters):
+        steps.append(f"""
+    , d{t} AS (
+      SELECT coalesce(sum(r.pr), 0) AS dang
+      FROM r{t} r LEFT JOIN outdeg o ON r.host = o.src WHERE o.src IS NULL
+    ), c{t} AS (
+      SELECT r.host AS src, r.pr // o.deg AS contrib
+      FROM r{t} r JOIN outdeg o ON r.host = o.src
+    ), i{t} AS (
+      SELECT e.dst AS host, sum(c.contrib) AS inc
+      FROM edges e JOIN c{t} c ON e.src = c.src GROUP BY e.dst
+    ), r{t + 1} AS (
+      SELECT n.host,
+             CAST(((15 * ((SELECT n FROM nn) * {_PR_SCALE})) // 100)
+                    // (SELECT n FROM nn)
+                  + (85 * (coalesce(i.inc, 0)
+                           + (SELECT dang FROM d{t}) // (SELECT n FROM nn)))
+                    // 100 AS BIGINT) AS pr
+      FROM nodes n LEFT JOIN i{t} i ON n.host = i.host
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT host, pr FROM r{iters}"""
+
+
+def _host_rank_edges(spark, sf_dir):
+    """Deterministic host-link graph from ``events``: two modular edge
+    families, self-loops dropped, hosts >= _PR_SRC_CAP never source (so
+    the dangling-mass term is exercised)."""
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    src = (F.col("event_id") % _PR_HOSTS).alias("src")
+    e1 = ev.select(src, ((F.col("event_id") * 7 + 3) % _PR_HOSTS).alias("dst"))
+    e2 = ev.where(F.col("event_id") % 3 == 0).select(
+        src, ((F.col("event_id") * 13 + 5) % _PR_HOSTS).alias("dst")
+    )
+    return (
+        e1.unionByName(e2)
+        .where((F.col("src") < _PR_SRC_CAP) & (F.col("src") != F.col("dst")))
+        .distinct()
+    )
+
+
+@_q("crawl_host_rank", sql=_host_rank_sql())
+def crawl_host_rank(spark, sf_dir):
+    """Host-graph PageRank for crawl prioritization — the classic
+    frontier-ordering signal (which hosts deserve budget next round) the
+    reference's FIFO repo queue has no counterpart for at web scale.
+    Power iteration in plain DataFrame ops: per round, contributions =
+    rank div outdeg (broadcast host-side tables onto the edge table),
+    one groupBy(dst) shuffle to sum incoming mass, dangling mass
+    redistributed uniformly, damping 0.85 as integer *85 div 100.
+
+    Exactness: all mass is bigint fixed-point (_PR_SCALE units/host,
+    truncating division) — integer addition is order-independent, so the
+    driver hash is stable with no float rounding.  The DuckDB twin is the
+    same _PR_ITERS-step recurrence unrolled into CTEs by
+    ``_host_rank_sql`` from the same constants.
+
+    Scale shape: the edge table is the 100 TB side; ranks/outdeg are
+    |hosts|-sized (millions at web scale) and are BROADCAST onto edges —
+    the only shuffle per iteration is the groupBy(dst) partial-aggregated
+    mass sum.  Graph tables are localCheckpointed once (reused every
+    iteration, lineage cut); iteration count is a fixed cap, matching the
+    production pattern (ranks converge geometrically; schedulers use few
+    iterations over fresh snapshots rather than exact fixpoints)."""
+    edges = _host_rank_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
+    nn = nodes.agg(F.count("*").alias("n"))
+    ranks = nodes.select("host", F.lit(_PR_SCALE).cast("bigint").alias("pr"))
+    for _ in range(_PR_ITERS):
+        rd = ranks.join(
+            F.broadcast(outdeg), ranks["host"] == outdeg["src"], "left"
+        ).select("host", "pr", "deg")
+        dang = rd.where(F.col("deg").isNull()).agg(
+            F.coalesce(F.sum("pr"), F.lit(0)).cast("bigint").alias("dang")
+        )
+        contrib = rd.where(F.col("deg").isNotNull()).select(
+            F.col("host").alias("src"), F.expr("pr div deg").alias("contrib")
+        )
+        inc = (
+            edges.join(F.broadcast(contrib), "src")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inc"))
+        )
+        ranks = (
+            nodes.join(F.broadcast(inc), nodes["host"] == inc["dst"], "left")
+            .crossJoin(F.broadcast(dang))
+            .crossJoin(F.broadcast(nn))
+            .select(
+                "host",
+                (
+                    F.expr(f"((15 * (n * {_PR_SCALE})) div 100) div n")
+                    + F.expr(
+                        "(85 * (coalesce(inc, 0) + dang div n)) div 100"
+                    )
+                ).cast("bigint").alias("pr"),
+            )
+        )
+    return ranks.select("host", "pr")
+
+
+_BFS_ROUNDS = 4
+
+
+def _host_bfs_sql(rounds: int = _BFS_ROUNDS) -> str:
+    head = f"""
+    WITH e1 AS (
+      SELECT event_id % {_PR_HOSTS} AS src,
+             (event_id * 7 + 3) % {_PR_HOSTS} AS dst
+      FROM events
+    ), e2 AS (
+      SELECT event_id % {_PR_HOSTS} AS src,
+             (event_id * 13 + 5) % {_PR_HOSTS} AS dst
+      FROM events WHERE event_id % 3 = 0
+    ), edges AS (
+      SELECT DISTINCT src, dst
+      FROM (SELECT * FROM e1 UNION ALL SELECT * FROM e2)
+      WHERE src < {_PR_SRC_CAP} AND src <> dst
+    ), nodes AS (
+      SELECT DISTINCT src AS host FROM edges
+      UNION SELECT DISTINCT dst FROM edges
+    ), s0 AS (
+      SELECT host, CAST(0 AS BIGINT) AS depth FROM nodes WHERE host % 10 = 0
+    )"""
+    steps = []
+    for t in range(rounds):
+        steps.append(f"""
+    , s{t + 1} AS (
+      SELECT host, min(depth) AS depth FROM (
+        SELECT host, depth FROM s{t}
+        UNION ALL
+        SELECT e.dst AS host, s.depth + 1 AS depth
+        FROM edges e JOIN s{t} s ON e.src = s.host
+      ) GROUP BY host
+    )""")
+    return head + "".join(steps) + f"""
+    SELECT host, depth FROM s{rounds}"""
+
+
+@_q("crawl_bfs_depth", sql=_host_bfs_sql())
+def crawl_bfs_depth(spark, sf_dir):
+    """Multi-source BFS crawl-depth labeling over the host graph — the
+    "how many hops from a seed is this host" signal behind max-depth
+    crawl policies (the reference walks one repo tree at a time,
+    crawler.py's recursive descent; at web scale depth is a join-iterated
+    label).  Seeds = hosts with host % 10 = 0, depth 0.
+
+    Spark side is DELTA-FRONTIER BFS: each round joins only the
+    newly-reached frontier against the edge table, anti-joins the
+    visited set, and unions the new (host, depth=t+1) labels — work per
+    round is O(|frontier edges|), the textbook distributed BFS.  The
+    DuckDB twin is plain min-relaxation unrolled _BFS_ROUNDS times; the
+    two are equivalent because BFS discovers exactly the min-depth
+    labels and relaxation converges on them round-for-round.  Depths are
+    bigints — exact, hash-safe.
+
+    Scale shape: the edge table is the big side (joined on src, one
+    shuffle per round); frontier/visited are |hosts|-sized and broadcast
+    here (at true web scale the anti-join shuffles — both sides keyed on
+    host, AQE picks the strategy).  Frontier is localCheckpointed per
+    round: constant-depth plan, no lineage blowup."""
+    edges = _host_rank_edges(spark, sf_dir).localCheckpoint()
+    nodes = (
+        edges.select(F.col("src").alias("host"))
+        .unionByName(edges.select(F.col("dst").alias("host")))
+        .distinct()
+    )
+    seeds = nodes.where(F.col("host") % 10 == 0).select(
+        "host", F.lit(0).cast("bigint").alias("depth")
+    )
+    visited = seeds.localCheckpoint()
+    frontier = visited
+    for t in range(_BFS_ROUNDS):
+        new = (
+            edges.join(F.broadcast(frontier), edges["src"] == frontier["host"])
+            .select(
+                F.col("dst").alias("host"),
+                (F.col("depth") + 1).cast("bigint").alias("depth"),
+            )
+            .groupBy("host")
+            .agg(F.min("depth").alias("depth"))
+            .join(visited.select("host"), "host", "left_anti")
+            .localCheckpoint()
+        )
+        visited = visited.unionByName(new).localCheckpoint()
+        frontier = new
+    return visited.select("host", "depth")
+
+
 def registry():
     return dict(QUERIES), dict(ORACLES)

@@ -585,3 +585,42 @@ def test_wave5_tail_plan_shapes(spark):
     assert "hashpartitioning(lang" in mix, mix
     assert "CartesianProduct" not in mix, mix
     assert "BroadcastNestedLoopJoin" in mix or "BroadcastExchange" in mix, mix
+
+
+def test_wave6_graph_plan_shapes(spark):
+    """`crawl_host_rank` (fixed-point PageRank) must broadcast the
+    host-sized tables (ranks/outdeg/contrib) onto the edge table — one
+    BroadcastHashJoin per iteration on the edges side plus the nodes-side
+    rank rebuild — and never emit a cartesian product (the only
+    nested-loop joins allowed are the 1-row dangling-mass / node-count
+    scalars).  `crawl_bfs_depth`'s per-round expansion joins the frontier
+    broadcast against edges and anti-joins the visited set without a
+    shuffle on the broadcast side."""
+    from logtemplatecrawler_spark.plans.harness import (
+        QUERIES, _host_rank_edges, _PR_ITERS,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    pr = _explain(QUERIES["crawl_host_rank"](spark, sf), "simple")
+    assert "CartesianProduct" not in pr, pr
+    # edges⋈contrib and nodes⋈inc both broadcast, every iteration
+    assert pr.count("BroadcastHashJoin") >= 2 * _PR_ITERS, pr
+
+    # one BFS expansion round, built from the same graph helpers
+    edges = _host_rank_edges(spark, sf)
+    frontier = (
+        edges.select(F.col("src").alias("host"))
+        .distinct()
+        .where(F.col("host") % 10 == 0)
+        .select("host", F.lit(0).cast("bigint").alias("depth"))
+    )
+    new = (
+        edges.join(F.broadcast(frontier), edges["src"] == frontier["host"])
+        .select(F.col("dst").alias("host"),
+                (F.col("depth") + 1).cast("bigint").alias("depth"))
+        .groupBy("host").agg(F.min("depth").alias("depth"))
+        .join(F.broadcast(frontier.select("host")), "host", "left_anti")
+    )
+    plan = _explain(new, "simple")
+    assert "CartesianProduct" not in plan, plan
+    assert plan.count("BroadcastHashJoin") >= 2, plan
