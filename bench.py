@@ -158,6 +158,7 @@ def main() -> None:
     headline_v7_extra = [
         "crawl_host_rank",
         "crawl_bfs_depth",
+        "crawl_pop_by_host_rank",
     ]
 
     def one_pass():

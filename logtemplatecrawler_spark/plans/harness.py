@@ -4177,9 +4177,11 @@ _PR_HOSTS = 60          # host id = residue mod 60
 _PR_SRC_CAP = 55        # hosts 55-59 never link out -> genuine dangling mass
 
 
-def _host_rank_sql(iters: int = _PR_ITERS) -> str:
+def _host_rank_ctes(iters: int = _PR_ITERS) -> str:
+    """The PageRank recurrence as a CTE body (``e1 AS (...) ... r{iters}``)
+    so composing queries can extend the chain with their own CTEs."""
     head = f"""
-    WITH e1 AS (
+    e1 AS (
       SELECT event_id % {_PR_HOSTS} AS src,
              (event_id * 7 + 3) % {_PR_HOSTS} AS dst
       FROM events
@@ -4219,7 +4221,12 @@ def _host_rank_sql(iters: int = _PR_ITERS) -> str:
                     // 100 AS BIGINT) AS pr
       FROM nodes n LEFT JOIN i{t} i ON n.host = i.host
     )""")
-    return head + "".join(steps) + f"""
+    return head + "".join(steps)
+
+
+def _host_rank_sql(iters: int = _PR_ITERS) -> str:
+    return f"""
+    WITH {_host_rank_ctes(iters)}
     SELECT host, pr FROM r{iters}"""
 
 
@@ -4391,6 +4398,69 @@ def crawl_bfs_depth(spark, sf_dir):
         visited = visited.unionByName(new).localCheckpoint()
         frontier = new
     return visited.select("host", "depth")
+
+
+_POP_TOP_HOSTS = 20
+_POP_BUDGET = 2
+
+
+@_q("crawl_pop_by_host_rank", sql=f"""
+    WITH {_host_rank_ctes()}
+    , top_hosts AS (
+      SELECT host, pr FROM r{_PR_ITERS}
+      ORDER BY pr DESC, host ASC LIMIT {_POP_TOP_HOSTS}
+    ), pend AS (
+      SELECT t.host, t.pr AS priority,
+             'https://h' || CAST(t.host AS VARCHAR) || '.example.org/p/'
+               || CAST(e.event_id AS VARCHAR) AS url
+      FROM events e JOIN top_hosts t ON e.event_id % {_PR_HOSTS} = t.host
+    ), ranked AS (
+      SELECT host, url, priority,
+             row_number() OVER (PARTITION BY host
+                                ORDER BY priority DESC, url ASC) AS rn
+      FROM pend
+    )
+    SELECT host, url, priority FROM ranked WHERE rn <= {_POP_BUDGET}
+""")
+def crawl_pop_by_host_rank(spark, sf_dir):
+    """Composition: crawl budget routed to the highest-AUTHORITY hosts —
+    `crawl_host_rank`'s fixed-point PageRank picks the top
+    _POP_TOP_HOSTS hosts (TakeOrderedAndProject, no global window), the
+    pending URL set joins them (broadcast — the selected-host table is
+    top-k-sized by construction), and the ENGINE's salted two-phase
+    `pop_per_host` (crawl/politeness.py) takes _POP_BUDGET urls per
+    host with the bigint rank as priority.  This is the authority-first
+    scheduler policy (OPIC/PageRank-ordered crawling) end-to-end:
+    iterative rank → host selection → politeness-bounded pop, all
+    driver-hashed; ranks stay exact integers so the composed hash has
+    no float hazard.  The DuckDB twin extends the shared PageRank CTE
+    chain (`_host_rank_ctes` — same constants) with the top-k and the
+    single global window the salted pop must equal."""
+    from logtemplatecrawler_spark.crawl.politeness import pop_per_host
+
+    ranks = crawl_host_rank(spark, sf_dir)
+    top = ranks.orderBy(F.col("pr").desc(), F.col("host").asc()).limit(
+        _POP_TOP_HOSTS
+    )
+    ev = _t(spark, sf_dir, "events").select("event_id")
+    cand = ev.select(
+        (F.col("event_id") % _PR_HOSTS).alias("host"), "event_id"
+    )
+    pend = (
+        cand.join(F.broadcast(top), "host")
+        .select(
+            "host",
+            F.concat(
+                F.lit("https://h"), F.col("host").cast("string"),
+                F.lit(".example.org/p/"), F.col("event_id").cast("string"),
+            ).alias("url"),
+            F.col("pr").alias("priority"),
+        )
+        .withColumn("salt", F.pmod(F.crc32(F.col("url")), F.lit(8)).cast("int"))
+    )
+    return pop_per_host(pend, budget=_POP_BUDGET, salted=True).select(
+        "host", "url", "priority"
+    )
 
 
 def registry():
