@@ -37,8 +37,34 @@ def _q(name: str, sql: Optional[str] = None):
     return deco
 
 
+# Hash-repartition keys for `_t`'s scan spread (deterministic columns — a
+# keyless round-robin repartition would pay a per-task sort,
+# sortBeforeRepartition, to stay retry-safe; hashing an id column is
+# deterministic for free).
+_SPREAD_KEYS = {
+    "documents": "doc_id", "embeddings": "vec_id", "events": "event_id",
+    "orders": "o_orderkey", "lineitem": "l_orderkey",
+    "customer": "c_custkey", "part": "p_partkey", "supplier": "s_suppkey",
+}
+
+
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    """Read a fixture table, spreading single-row-group files across the
+    cluster.  The driver-generated parquet fixtures are written as ONE row
+    group per file (verified up to 600k rows at sf0.1), and Spark cannot
+    split a row group across scan tasks — so without this every query's
+    scan stage (split/explode/md5/expression work up to the first
+    exchange) runs on a single core (guide §2.5, "one huge unsplittable
+    file → repartition immediately after the read").  Scale-adaptive: the
+    repartition fires only when the scan yields fewer partitions than
+    ``defaultParallelism``; warehouse-scale tables scan as thousands of
+    splits and pass through untouched."""
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    n = spark.sparkContext.defaultParallelism
+    key = _SPREAD_KEYS.get(name)
+    if key is not None and df.rdd.getNumPartitions() < n:
+        df = df.repartition(n, F.col(key))
+    return df
 
 
 # ---------------------------------------------------------------------------
@@ -453,10 +479,18 @@ def _minhash_sql_core() -> str:
     return _shingle_sig_sql(_MINHASH_COEF)
 
 
-def _shingle_hashes(spark, sf_dir):
-    """documents → (doc_id, hw): distinct word-bigram shingles hashed to a
-    portable 60-bit integer — shared by the fixed-8-perm and the
-    threshold-parameterized minhash plans."""
+def _shingle_hashes(spark, sf_dir, distinct: bool = True):
+    """documents → (doc_id, hw): word-bigram shingles hashed to a portable
+    60-bit integer — shared by the fixed-8-perm and the
+    threshold-parameterized minhash plans.
+
+    ``distinct=True`` (the oracle's stated form) dedups shingle STRINGS per
+    doc before hashing — required wherever per-doc shingle-set SIZES or hw
+    equi-joins feed the result (the exact-Jaccard verify).  The signature
+    path passes ``distinct=False``: ``min`` over the hashed multiset equals
+    ``min`` over the hashed set, so skipping the distinct removes a full
+    shuffle of the shingle strings (guide §2.4) without changing any
+    signature value."""
     docs = _t(spark, sf_dir, "documents")
     toks = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
         F.size("ws") >= 2
@@ -469,7 +503,9 @@ def _shingle_hashes(spark, sf_dir):
                 " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
             )
         ).alias("w"),
-    ).distinct()
+    )
+    if distinct:
+        shingles = shingles.distinct()
     return shingles.select(
         "doc_id",
         F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hw"),
@@ -477,11 +513,15 @@ def _shingle_hashes(spark, sf_dir):
 
 
 def _minhash_sigs(spark, sf_dir, coefs):
+    # distinct=False: min() is insensitive to duplicate shingles, so the
+    # per-doc string distinct (one whole shuffle of the shingle text) is
+    # dropped; signatures are identical (docstring of _shingle_hashes).
     aggs = [
         F.min(((F.col("hw") % _MINHASH_P) * a + b) % _MINHASH_P).alias(f"mh{i}")
         for i, (a, b) in enumerate(coefs)
     ]
-    return _shingle_hashes(spark, sf_dir).groupBy("doc_id").agg(*aggs)
+    return _shingle_hashes(spark, sf_dir, distinct=False).groupBy(
+        "doc_id").agg(*aggs)
 
 
 @_q("dedup_minhash_signatures", sql=_minhash_sql_core() + """
@@ -693,19 +733,27 @@ def dedup_simhash(spark, sf_dir):
 
 
 def _simhash_frame(spark, sf_dir):
-    """Spark twin of `_simhash_cte`: (doc_id, simhash) per document."""
+    """Spark twin of `_simhash_cte`: (doc_id, simhash) per document.
+
+    The oracle states the sign-sum per DISTINCT word weighted by tf; the
+    sum is linear in tf, so summing ±1 per word OCCURRENCE yields the
+    identical integer (Σ_w ±tf_w ≡ Σ_occurrences ±1).  That removes the
+    (doc_id, w) tf groupBy — a whole shuffle of the word strings (guide
+    §2.4); the one remaining shuffle carries 61 bigints per doc after
+    map-side partial aggregation."""
     docs = _t(spark, sf_dir, "documents")
     words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    hashed = tf.select(
-        "doc_id", "tf",
+    hashed = words.select(
+        "doc_id",
         F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hw"),
     )
-    # For each bit i: sum(tf * (bit set ? +1 : -1)); simhash bit i = sum > 0.
+    # For each bit i: sum over occurrences of (bit set ? +1 : -1) — equal to
+    # the oracle's sum over distinct words of ±tf; simhash bit i = sum > 0.
+    one = F.lit(1).cast("bigint")
     bit_terms = [
         F.sum(
-            F.when(F.shiftright(F.col("hw"), i).bitwiseAND(F.lit(1)) == 1, F.col("tf"))
-            .otherwise(-F.col("tf"))
+            F.when(F.shiftright(F.col("hw"), i).bitwiseAND(F.lit(1)) == 1, one)
+            .otherwise(-one)
         ).alias(f"s{i}")
         for i in range(60)
     ]
@@ -4002,14 +4050,22 @@ def dedup_semantic_clustered_canonical(spark, sf_dir):
     the DuckDB twin composes the identical CTEs plus the recursive-CTE
     closure.
 
-    The within-cell dot products stay on the ARRAY form via native
-    zip_with + aggregate (sequential JVM fold, deterministic order) — one
-    pair row per candidate instead of the 64×-exploded long form the
-    oracle states, cutting the join fan-out by the dimensionality.  Both
-    engines' float sums land on the same value at the 6-dp rounding,
-    exactly the device every other float compare in this registry uses."""
+    The within-cell dot products run as a PER-CELL numpy kernel
+    (operators/semantic.py, `groupBy(cell).applyInPandas`) — the swap this
+    docstring always promised for scale.  The r5 self-join on ``cell`` had
+    8 distinct join keys (parallelism collapse) and evaluated one
+    interpreted zip_with/aggregate fold per candidate pair (~25M × 64 dims
+    at the sf1.0 bench: 134 s in BENCH_r05).  The kernel accumulates the
+    same products in the same sequential dimension order in float64, so
+    every dot is BIT-identical to the JVM fold; it emits a margin-superset
+    of candidates and the original JVM predicate
+    ``round(dot / (na·nb), 6) >= τ`` — unchanged — decides each pair, so
+    the output is identical by construction (see operators/semantic.py)."""
     from logtemplatecrawler_spark.operators.components import (
         connected_components,
+    )
+    from logtemplatecrawler_spark.operators.semantic import (
+        PAIR_SCHEMA, make_cell_pair_fn,
     )
 
     emb = _t(spark, sf_dir, "embeddings")
@@ -4029,26 +4085,11 @@ def dedup_semantic_clustered_canonical(spark, sf_dir):
         .select("vec_id", "cell", "embedding", F.sqrt(sq_sum).alias("nrm"))
         .localCheckpoint()
     )
-    a, b = vec.alias("a"), vec.alias("b")
-    dot = F.aggregate(
-        F.zip_with(
-            F.col("a.embedding"), F.col("b.embedding"),
-            lambda x, y: x.cast("double") * y.cast("double"),
-        ),
-        F.lit(0.0), lambda acc, x: acc + x,
+    cand = vec.groupBy("cell").applyInPandas(
+        make_cell_pair_fn(_SEM_TAU), PAIR_SCHEMA
     )
-    cos = F.round(dot / (F.col("a.nrm") * F.col("b.nrm")), 6)
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .where(cos >= _SEM_TAU)
-        .select(
-            F.col("a.vec_id").alias("doc_a"), F.col("b.vec_id").alias("doc_b")
-        )
-    )
+    cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
+    pairs = cand.where(cos >= _SEM_TAU).select("doc_a", "doc_b")
     labels, _ = connected_components(emb.select("vec_id"), pairs,
                                      id_col="vec_id")
     return labels.withColumn(
