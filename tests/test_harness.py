@@ -246,6 +246,52 @@ def test_connected_components_one_job_per_iteration(spark):
         connected_components(nodes, pairs, max_iters=1)
 
 
+def test_local_contract_preserves_components(spark):
+    """r6: the per-partition union-find pre-contraction emits, per
+    partition, one (node, local-min) star edge per non-root node; the union
+    of those stars must connect exactly what the raw edges connected, for
+    ANY partitioning of the edge set.  Checked on an adversarial mix (long
+    path + cliques + singleton bridge) forced into many tiny partitions so
+    every component straddles partition boundaries, against a pure-Python
+    union-find oracle; labels and iteration count both verified (the loop
+    must still converge on the contracted forest)."""
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.operators.components import (
+        connected_components,
+    )
+
+    raw = (
+        [(i, i + 1) for i in range(40)]                      # path 0..40
+        + [(100 + i, 100 + j) for i in range(6) for j in range(i)]  # clique
+        + [(40, 100)]                                        # bridge
+        + [(200, 201), (202, 201)]                           # small star
+    )
+    parent = {}
+
+    def find(x):
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in raw:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    nodes = sorted({n for e in raw for n in e} | {999})       # 999: singleton
+    truth = {n: find(n) for n in nodes}
+
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long").repartition(16)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    labels, iters = connected_components(nodes_df, pairs)
+    got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
+    assert got == truth, (got, truth)
+    # contracted path of ~16 super-nodes + pointer jumping: O(log) rounds
+    assert iters <= 8, iters
+
+
 def test_kmeans_refine_lloyd_monotone(spark):
     """`ann_ivf_kmeans_refine` is one true Lloyd step: recomputing
     centroids as assigned-cluster means and re-assigning cannot increase

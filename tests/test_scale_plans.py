@@ -547,7 +547,13 @@ def test_wave5_curation_plan_shapes(spark):
     sf = "/root/testdata/sf0.001"
     for name in ("text_pii_scrub", "curation_split_assign"):
         plan = _explain(QUERIES[name](spark, sf), "simple")
-        assert "Exchange" not in plan, (name, plan)
+        # r6: the only allowed exchange is `_t`'s scan spread (the
+        # single-row-group fixture files cap scans at one task; the
+        # repartition fires only below defaultParallelism, so at warehouse
+        # scale these stay shuffle-free per-row expressions)
+        n_exchanges = plan.count("Exchange")
+        n_spread = plan.count("REPARTITION_BY_NUM")
+        assert n_exchanges == n_spread, (name, plan)
         assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan, (
             name, plan,
         )
