@@ -244,9 +244,13 @@ def write_frontier_snapshots(spark: SparkSession, cfg: CrawlConfig,
     fall back to the full-scan filter (never wrong, just unpruned).  The
     sidecar is sourced from a read-back of the just-written main snapshot —
     one extra scan of data already local, instead of recomputing the
-    MERGE-on-read a second time.  Under ``BucketedParquetFormat`` the
-    sidecar is frontier-shaped, so it is itself bucketed by url and the
-    pending view's MERGE-on-read stays exchange-free on its base side."""
+    MERGE-on-read a second time (r6 note: a bounded persist of
+    ``frontier_next`` across the two writes was measured SLOWER than this
+    read-back at the 1M-row bench scale — cache population cost exceeds a
+    local parquet scan — so the read-back stays).  Under
+    ``BucketedParquetFormat`` the sidecar is frontier-shaped, so it is
+    itself bucketed by url and the pending view's MERGE-on-read stays
+    exchange-free on its base side."""
     fmt = cfg.table_format
     snap = _frontier_snap_path(cfg, rnd)
     fmt.write_snapshot(frontier_next, snap)

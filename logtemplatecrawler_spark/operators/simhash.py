@@ -32,6 +32,45 @@ def simhash60(text: str) -> int:
     return sum(1 << i for i in range(SIMHASH_BITS) if sums[i] > 0)
 
 
+# word → 60-bit hash memo for the batched signature path.  The md5 of a
+# word is immutable, so caching is semantics-free; the cap bounds worker
+# memory on open-vocabulary corpora (guide §4.5: amortize heavyweight
+# per-item work across batches in a reused worker).
+_HW_CACHE: dict = {}
+_HW_CACHE_CAP = 1_000_000
+
+
+def simhash60_batch(texts) -> "list[int]":
+    """Vectorized twin of `simhash60` for pandas batches — bit-identical.
+
+    Integer-exact restatement: per distinct word, the sign-sum adds
+    ``tf * (2·bit − 1)`` which equals ``±tf``; the 60-bit loop runs as one
+    numpy broadcast per document instead of 60 Python iterations per word.
+    All arithmetic is int64 (no floats), so the result equals the scalar
+    oracle exactly — pinned by
+    tests/test_stateful_streaming.py::test_simhash60_batch_matches_scalar."""
+    import numpy as np
+
+    shifts = np.arange(SIMHASH_BITS, dtype=np.uint64)
+    out = []
+    for text in texts:
+        cnt = Counter(text.split(" "))
+        hws = np.empty(len(cnt), dtype=np.uint64)
+        tfs = np.empty(len(cnt), dtype=np.int64)
+        for i, (w, tf) in enumerate(cnt.items()):
+            hw = _HW_CACHE.get(w)
+            if hw is None:
+                hw = int(hashlib.md5(w.encode("utf-8")).hexdigest()[:15], 16)
+                if len(_HW_CACHE) < _HW_CACHE_CAP:
+                    _HW_CACHE[w] = hw
+            hws[i] = hw
+            tfs[i] = tf
+        bits = ((hws[:, None] >> shifts) & np.uint64(1)).astype(np.int64)
+        sums = (tfs[:, None] * (2 * bits - 1)).sum(axis=0)
+        out.append(int(((sums > 0).astype(np.uint64) << shifts).sum()))
+    return out
+
+
 def band_keys(sig: int) -> list:
     """The 4×15-bit band keys of a signature (pigeonhole: two sigs within
     Hamming ≤ 3 share at least one)."""

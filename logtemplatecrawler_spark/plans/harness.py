@@ -3648,7 +3648,8 @@ def stream_content_dedup_drain(spark, sf_dir):
     `applyInPandasWithState` keyed by the 4×15-bit band buckets →
     availableNow drain → `near_dup_verdicts` resolve) runs to completion
     inside the query.  Deterministic because the whole table arrives as ONE
-    micro-batch (single source file) and within a batch the state function
+    micro-batch (maxFilesPerTrigger ≫ file count, asserted post-drain
+    against the checkpoint offsets) and within a batch the state function
     orders by doc_id, so the verdict is exactly "some smaller-doc_id
     signature within Hamming ≤ 3" — which the DuckDB twin states over the
     SAME generated simhash CTE as the batch entries (the pure-Python
@@ -3662,11 +3663,24 @@ def stream_content_dedup_drain(spark, sf_dir):
         near_dup_verdicts, streaming_near_dup_flags,
     )
 
+    import glob
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
     scratch = tempfile.mkdtemp(prefix="stream_dedup_")
     src, out, ckpt = f"{scratch}/src", f"{scratch}/out", f"{scratch}/ckpt"
-    docs.coalesce(1).write.mode("overwrite").parquet(src)
-    stream = spark.readStream.schema("doc_id bigint, text string").parquet(src)
+    # r6: multiple source files so the Arrow simhash UDF stage runs on
+    # every core instead of one (the coalesce(1) source serialized the
+    # whole signature computation).  Determinism needs all files in ONE
+    # micro-batch — pinned explicitly via maxFilesPerTrigger far above the
+    # file count, and verified after the drain (offsets dir must hold
+    # exactly batch 0) so a Spark behavior change fails loudly instead of
+    # silently reordering arrivals.
+    docs.write.mode("overwrite").parquet(src)
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1000000")
+        .parquet(src)
+    )
     q = (
         streaming_near_dup_flags(stream)
         .writeStream.format("parquet")
@@ -3676,6 +3690,16 @@ def stream_content_dedup_drain(spark, sf_dir):
         .start()
     )
     q.awaitTermination()
+    committed = sorted(
+        p.rsplit("/", 1)[-1] for p in glob.glob(f"{ckpt}/offsets/*")
+        if not p.endswith(".tmp")
+    )
+    if committed != ["0"]:
+        raise RuntimeError(
+            f"stream_content_dedup_drain: expected ONE micro-batch, got "
+            f"offsets {committed} — the single-batch determinism contract "
+            "is broken"
+        )
     return near_dup_verdicts(spark.read.parquet(out))
 
 

@@ -45,17 +45,46 @@ from logtemplatecrawler_spark.operators.simhash import (
     SIMHASH_BAND_BITS,
     SIMHASH_BAND_MASK,
     SIMHASH_HAMMING,
-    simhash60,
+    simhash60_batch,
 )
 
 _FLAGS_OUT_SCHEMA = "doc_id bigint, is_dup_in_band boolean"
 _FLAGS_STATE_SCHEMA = "sigs array<bigint>"
 
 
+_POP16 = None  # lazy 16-bit popcount table, built once per worker
+
+
+def _popcount_le(arr, sig: int, hamming: int) -> bool:
+    """True iff any value in int64 ``arr`` is within ``hamming`` of ``sig``
+    (numpy 16-bit-table popcount — numpy<2 has no bitwise_count)."""
+    global _POP16
+    import numpy as np
+
+    if _POP16 is None:
+        _POP16 = np.array([bin(i).count("1") for i in range(1 << 16)],
+                          dtype=np.uint8)
+    x = arr ^ sig
+    pc = (_POP16[x & 0xFFFF] + _POP16[(x >> 16) & 0xFFFF]
+          + _POP16[(x >> 32) & 0xFFFF] + _POP16[(x >> 48) & 0xFFFF])
+    return bool((pc <= hamming).any())
+
+
 def _flag_fn(hamming: int):
     def fn(key: Tuple[int, int], batches: Iterable[pd.DataFrame],
            state: GroupState) -> Iterator[pd.DataFrame]:
-        sigs = list(state.get[0]) if state.exists else []
+        # r6: the per-doc probe against the bucket's seen signatures is a
+        # vectorized popcount over one int64 array instead of a Python
+        # loop per (doc, seen-sig) pair — same comparisons, same order,
+        # same verdicts, O(n) numpy per doc instead of O(n) interpreted
+        # bigint ops (guide §4.2).
+        import numpy as np
+
+        prev = list(state.get[0]) if state.exists else []
+        cap = max(16, 2 * len(prev) + 16)
+        buf = np.empty(cap, dtype=np.int64)
+        n = len(prev)
+        buf[:n] = prev
         ids, dups = [], []
         for pdf in batches:
             # smaller doc_id = "earlier" within a batch — the SAME
@@ -65,11 +94,13 @@ def _flag_fn(hamming: int):
             for did, sig in zip(pdf["doc_id"], pdf["simhash"]):
                 sig = int(sig)
                 ids.append(int(did))
-                dups.append(
-                    any(bin(sig ^ s).count("1") <= hamming for s in sigs)
-                )
-                sigs.append(sig)
-        state.update((sigs,))
+                dups.append(n > 0 and _popcount_le(buf[:n], sig, hamming))
+                if n == cap:
+                    cap *= 2
+                    buf = np.resize(buf, cap)
+                buf[n] = sig
+                n += 1
+        state.update((buf[:n].tolist(),))
         yield pd.DataFrame({"doc_id": ids, "is_dup_in_band": dups})
 
     return fn
@@ -86,7 +117,7 @@ def streaming_near_dup_flags(doc_stream: DataFrame,
     band keys with native column ops.
     """
     sim_udf = F.pandas_udf(
-        lambda texts: texts.map(simhash60), "bigint"
+        lambda texts: pd.Series(simhash60_batch(texts)), "bigint"
     )
     keyed = (
         doc_stream.select("doc_id", sim_udf(F.col("text")).alias("simhash"))

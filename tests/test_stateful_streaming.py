@@ -90,6 +90,26 @@ def test_simhash60_matches_batch_frame(spark):
         assert simhash60(text) == batch[did], did
 
 
+def test_simhash60_batch_matches_scalar(spark):
+    """r6: the numpy-vectorized batch signature (`simhash60_batch`, the
+    streaming UDF's new body) must be bit-identical to the scalar oracle
+    on every fixture document — all-integer arithmetic, so exact equality,
+    including repeated calls through the word-hash memo."""
+    from logtemplatecrawler_spark.operators.simhash import (
+        simhash60, simhash60_batch,
+    )
+
+    sf = os.environ.get("HARNESS_SF_DIR", "/root/testdata/sf0.001")
+    texts = [
+        r["text"]
+        for r in spark.read.parquet(f"{sf}/documents.parquet").collect()
+    ]
+    texts += ["", "one", "a a a b"]  # degenerate shapes
+    expect = [simhash60(t) for t in texts]
+    assert simhash60_batch(texts) == expect
+    assert simhash60_batch(texts) == expect  # memo warm — still identical
+
+
 def test_streaming_near_dup_matches_online_oracle(spark, tmp_path):
     """Two micro-batches of fixture docs (plus injected exact dups) through
     `streaming_near_dup_flags` with a persistent checkpoint: the resolved
