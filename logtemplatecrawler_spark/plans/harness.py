@@ -37,32 +37,72 @@ def _q(name: str, sql: Optional[str] = None):
     return deco
 
 
-# Hash-repartition keys for `_t`'s scan spread (deterministic columns — a
-# keyless round-robin repartition would pay a per-task sort,
+# `_t` scan-spread policy: per table, the deterministic hash-repartition
+# key (a keyless round-robin repartition would pay a per-task sort,
 # sortBeforeRepartition, to stay retry-safe; hashing an id column is
-# deterministic for free).
+# deterministic for free) and the MINIMUM ROW COUNT below which spreading
+# is a net loss.  The thresholds reflect downstream per-row cost — a
+# document fans out to hundreds of shingle/gram/md5 rows, an embedding
+# explodes 64x, an event row is one string concat — and were measured both
+# ways: unconditional spreading regressed small-table queries 1.3-2.4x at
+# sf0.1, while at the sf1-shaped sizes (50k docs / 20k vectors / 1M
+# events) spreading is worth 2-8x on the scan-heavy families.
 _SPREAD_KEYS = {
-    "documents": "doc_id", "embeddings": "vec_id", "events": "event_id",
-    "orders": "o_orderkey", "lineitem": "l_orderkey",
-    "customer": "c_custkey", "part": "p_partkey", "supplier": "s_suppkey",
+    "documents": ("doc_id", 20_000),
+    "embeddings": ("vec_id", 10_000),
+    "events": ("event_id", 250_000),
+    "orders": ("o_orderkey", 500_000),
+    "lineitem": ("l_orderkey", 500_000),
+    "customer": ("c_custkey", 500_000),
+    "part": ("p_partkey", 500_000),
+    "supplier": ("s_suppkey", 500_000),
 }
+_SPREAD_ROWS_CACHE: Dict[str, int] = {}
+
+
+def _table_rows(path: str) -> int:
+    """Row count from the parquet footer(s) — a driver-side metadata read,
+    no Spark job."""
+    import os
+
+    import pyarrow.parquet as pq
+
+    rows = _SPREAD_ROWS_CACHE.get(path)
+    if rows is None:
+        if os.path.isdir(path):
+            rows = sum(
+                pq.ParquetFile(os.path.join(r, f)).metadata.num_rows
+                for r, _, fs in os.walk(path)
+                for f in fs if f.endswith(".parquet")
+            )
+        else:
+            rows = pq.ParquetFile(path).metadata.num_rows
+        _SPREAD_ROWS_CACHE[path] = rows
+    return rows
 
 
 def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Read a fixture table, spreading single-row-group files across the
-    cluster.  The driver-generated parquet fixtures are written as ONE row
-    group per file (verified up to 600k rows at sf0.1), and Spark cannot
-    split a row group across scan tasks — so without this every query's
-    scan stage (split/explode/md5/expression work up to the first
+    """Read a fixture table, spreading large single-row-group files across
+    the cluster.  The driver-generated parquet fixtures are written as ONE
+    row group per file (verified up to 600k rows at sf0.1), and Spark
+    cannot split a row group across scan tasks — so without this every
+    query's scan stage (split/explode/md5/expression work up to the first
     exchange) runs on a single core (guide §2.5, "one huge unsplittable
-    file → repartition immediately after the read").  Scale-adaptive: the
-    repartition fires only when the scan yields fewer partitions than
-    ``defaultParallelism``; warehouse-scale tables scan as thousands of
-    splits and pass through untouched."""
-    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    file → repartition immediately after the read").  Scale-adaptive both
+    ways: the repartition fires only when the scan yields fewer partitions
+    than ``defaultParallelism`` AND the table clears its per-table row
+    threshold (below that the exchange costs more than the single-task
+    scan work it parallelizes — measured, see ``_SPREAD_KEYS``);
+    warehouse-scale tables scan as thousands of splits and pass through
+    untouched."""
+    path = f"{sf_dir}/{name}.parquet"
+    df = spark.read.parquet(path)
+    spec = _SPREAD_KEYS.get(name)
+    if spec is None:
+        return df
+    key, min_rows = spec
     n = spark.sparkContext.defaultParallelism
-    key = _SPREAD_KEYS.get(name)
-    if key is not None and df.rdd.getNumPartitions() < n:
+    if _table_rows(path) >= min_rows and df.rdd.getNumPartitions() < n:
         df = df.repartition(n, F.col(key))
     return df
 

@@ -55,6 +55,15 @@ def build_session(app_name: str = "logtemplatecrawler-spark",
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", str(arrow_batch_rows))
+        # Join strategy (optimization guide §3.1/§9): allow shuffled hash
+        # join where a per-partition build side fits — skips both sort
+        # passes of sort-merge; AQE's local-map threshold lets it rewrite
+        # SMJ → SHJ at runtime from observed sizes.  Both env-overridable
+        # for clusters where executor memory per task is tighter.
+        .config("spark.sql.join.preferSortMergeJoin",
+                os.environ.get("SPARK_GRAFT_PREFER_SMJ", "false"))
+        .config("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold",
+                os.environ.get("SPARK_GRAFT_SHJ_LOCAL_MAP", "64m"))
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "8g"))
         # ParquetManifestFormat.snapshot_exists trusts the _SUCCESS marker as
         # the write-completeness signal; object-store configs commonly turn
