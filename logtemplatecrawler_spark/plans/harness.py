@@ -881,16 +881,28 @@ def _simhash_pairs_frame(spark, sf_dir):
                     F.col("b.doc_id").alias("doc_b"))
         )
         cand = piece if cand is None else cand.unionByName(piece)
-    cand = cand.distinct()
+    # r6: VERIFY before DISTINCT.  The per-pair verify is two broadcast
+    # probes of the tiny signature table plus a bit_count filter — no
+    # shuffle — while the distinct is a full shuffle of the candidate
+    # stream (a pair can appear once per band, and band collisions explode
+    # quadratically on near-dup-heavy corpora: 27M candidate rows at the
+    # sf1-shaped bench).  Filtering first shrinks the distinct's input to
+    # the verified survivors; the result set is identical because the
+    # verify is a deterministic per-pair predicate (verify∘distinct ≡
+    # distinct∘verify).
     sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
     sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
     hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint")
     return (
+        # (join strategy left to the planner: the checkpointed signature
+        # table carries size stats, so it auto-broadcasts while it fits and
+        # degrades to a shuffle join past the threshold — no hard hint)
         cand.join(sa, "doc_a")
         .join(sb, "doc_b")
         .withColumn("hamming", hamming)
         .where(F.col("hamming") <= _SIMHASH_HAMMING)
         .select("doc_a", "doc_b", "hamming")
+        .distinct()
     )
 
 
@@ -3591,7 +3603,10 @@ def w2_politeness_pacing_rounds(spark, sf_dir):
                  F.col("event_id").cast("string")).alias("url"),
         F.col("value").alias("priority"),
     ).withColumn("salt", F.pmod(F.crc32(F.col("url")), F.lit(8)).cast("int"))
-    r1 = pop_per_host(pend, budget=4, salted=True)
+    # r6: round 1's result feeds BOTH the output union and the anti-join
+    # under round 2 — without the checkpoint the full window pipeline over
+    # the pending set executes twice (budget·hosts rows, trivial to pin).
+    r1 = pop_per_host(pend, budget=4, salted=True).localCheckpoint()
     rest = pend.join(r1.select("url"), "url", "left_anti")
     r2 = pop_per_host(rest, budget=4, salted=True)
     out = r1.withColumn("pop_round", F.lit(1).cast("bigint")).unionByName(
