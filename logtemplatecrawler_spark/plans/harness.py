@@ -2157,24 +2157,33 @@ def _lsh_cluster_labels(spark, sf_dir):
     bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
     sigs = _minhash_sigs(spark, sf_dir, coefs).localCheckpoint()
     cand = _band_pairs(sigs, bands=bands, rows=rows)
-    # exact verify over candidates only: shingle hash sets are reused for
-    # the intersection and both set sizes (one materialization)
-    hashes = _shingle_hashes(spark, sf_dir).localCheckpoint()
-    sizes = hashes.groupBy("doc_id").agg(F.count("*").alias("n"))
-    ha = hashes.select(F.col("doc_id").alias("doc_a"), "hw")
-    hb = hashes.select(F.col("doc_id").alias("doc_b"), "hw")
-    inter = (
-        cand.join(ha, "doc_a")
-        .join(hb, ["doc_b", "hw"])
-        .groupBy("doc_a", "doc_b")
-        .agg(F.count("*").alias("i"))
+    # Exact verify over candidates only.  r6: instead of expanding the
+    # candidate stream against the per-doc hash table twice (~|shingles|
+    # rows per candidate per side — a 53M-row join pipeline at the
+    # sf1-shaped bench), each doc's SORTED hash array is attached once and
+    # a binary-search kernel (operators/jaccard.py) counts matches — an
+    # all-integer restatement of the r5 join-count, equal by construction
+    # (incl. duplicate-hash multiplicities).  The Jaccard threshold stays
+    # in the JVM as the original predicate over (i, na, nb).  The array
+    # table is checkpointed so the planner sees its true (small) size and
+    # auto-broadcasts while it fits, degrading to a shuffle join at scale.
+    from logtemplatecrawler_spark.operators.jaccard import (
+        INTER_SCHEMA, intersect_counts,
     )
-    sa = sizes.select(F.col("doc_id").alias("doc_a"), F.col("n").alias("na"))
-    sb = sizes.select(F.col("doc_id").alias("doc_b"), F.col("n").alias("nb"))
+
+    hashes = _shingle_hashes(spark, sf_dir)
+    harr = hashes.groupBy("doc_id").agg(
+        F.sort_array(F.collect_list("hw")).alias("hws")
+    ).localCheckpoint()
+    inter = (
+        cand.join(harr.select(F.col("doc_id").alias("doc_a"),
+                              F.col("hws").alias("hwa")), "doc_a")
+        .join(harr.select(F.col("doc_id").alias("doc_b"),
+                          F.col("hws").alias("hwb")), "doc_b")
+        .mapInPandas(intersect_counts, INTER_SCHEMA)
+    )
     verified = (
-        inter.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .where(
+        inter.where(
             F.col("i") / (F.col("na") + F.col("nb") - F.col("i"))
             >= _TUNED_THRESHOLD
         )

@@ -246,6 +246,39 @@ def test_connected_components_one_job_per_iteration(spark):
         connected_components(nodes, pairs, max_iters=1)
 
 
+def test_intersect_counts_matches_join_count():
+    """r6: the binary-search verify kernel must replicate the r5
+    join-count semantics exactly — Σ_hw cnt_a(hw)·cnt_b(hw) — INCLUDING
+    duplicate hashes on either side (the md5-prefix-collision corner the
+    relational join counts multiplicatively)."""
+    from collections import Counter
+
+    import pandas as pd
+
+    from logtemplatecrawler_spark.operators.jaccard import intersect_counts
+
+    cases = [
+        ([1, 2, 3], [2, 3, 4]),            # plain overlap
+        ([1, 1, 2], [1, 3]),               # dup on a: 2·1 = 2 matches
+        ([5, 5], [5, 5, 5]),               # dup both: 2·3 = 6 matches
+        ([], [1, 2]),                      # empty side
+        ([7], [8]),                        # disjoint
+        (list(range(100)), list(range(50, 150))),  # long overlap
+    ]
+    pdf = pd.DataFrame({
+        "doc_a": range(len(cases)),
+        "doc_b": range(len(cases)),
+        "hwa": [sorted(a) for a, _ in cases],
+        "hwb": [sorted(b) for _, b in cases],
+    })
+    (out,) = list(intersect_counts(iter([pdf])))
+    for j, (a, b) in enumerate(cases):
+        ca, cb = Counter(a), Counter(b)
+        expect = sum(ca[h] * cb[h] for h in ca)
+        assert out["i"][j] == expect, (j, a, b)
+        assert out["na"][j] == len(a) and out["nb"][j] == len(b)
+
+
 def test_local_contract_preserves_components(spark):
     """r6: the per-partition union-find pre-contraction emits, per
     partition, one (node, local-min) star edge per non-root node; the union
