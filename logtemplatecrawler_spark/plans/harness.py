@@ -3206,10 +3206,25 @@ def crawl_frontier_pending_view(spark, sf_dir):
         F.lit("pending"), F.lit(5), 2,
     )
     cfg = CrawlConfig(checkpoint_dir=tempfile.mkdtemp(prefix="pending_view_"))
-    write_frontier_snapshots(spark, cfg, base, 0)
     fmt = cfg.table_format
-    fmt.write_delta(d1, _frontier_delta_dir(cfg), 1)
-    fmt.write_delta(d2_blocked.unionByName(d2_new), _frontier_delta_dir(cfg), 2)
+    # r6 (guide §2.6): the snapshot+sidecar write and the two delta writes
+    # are mutually independent — only the read below needs all three
+    # complete — so they run as concurrent jobs from a small thread pool;
+    # later jobs back-fill executors freed by the earlier jobs' task
+    # tails.  Ordering INSIDE write_frontier_snapshots (main-then-sidecar,
+    # the crash contract) is untouched; each delta stages under its own
+    # round directory, so the writes share no paths.
+    from concurrent.futures import ThreadPoolExecutor
+
+    jobs = [
+        lambda: write_frontier_snapshots(spark, cfg, base, 0),
+        lambda: fmt.write_delta(d1, _frontier_delta_dir(cfg), 1),
+        lambda: fmt.write_delta(d2_blocked.unionByName(d2_new),
+                                _frontier_delta_dir(cfg), 2),
+    ]
+    with ThreadPoolExecutor(max_workers=3) as pool:
+        for fut in [pool.submit(j) for j in jobs]:
+            fut.result()
     return load_frontier_pending(spark, cfg, 2).select(
         "url", "state",
         F.col("priority").cast("bigint").alias("priority"),
