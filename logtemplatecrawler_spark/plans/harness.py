@@ -775,36 +775,29 @@ def dedup_simhash(spark, sf_dir):
 def _simhash_frame(spark, sf_dir):
     """Spark twin of `_simhash_cte`: (doc_id, simhash) per document.
 
-    The oracle states the sign-sum per DISTINCT word weighted by tf; the
-    sum is linear in tf, so summing ±1 per word OCCURRENCE yields the
-    identical integer (Σ_w ±tf_w ≡ Σ_occurrences ±1).  That removes the
-    (doc_id, w) tf groupBy — a whole shuffle of the word strings (guide
-    §2.4); the one remaining shuffle carries 61 bigints per doc after
-    map-side partial aggregation."""
-    docs = _t(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    hashed = words.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hw"),
+    r6: the signature is computed PER DOCUMENT by the shared integer-exact
+    kernel `operators/simhash.simhash60_batch` through one Arrow-batched
+    pandas UDF — the same kernel the streaming near-dup filter runs, pinned
+    bit-identical to both the scalar oracle and the r5 explode/aggregate
+    DataFrame form (tests/test_stateful_streaming.py::
+    test_simhash60_batch_matches_scalar / test_simhash60_matches_batch_frame,
+    and the generated `_simhash_cte` twin hashes green).  The computation is
+    embarrassingly parallel per doc, so the r5 plan's explode to word
+    occurrences (~200 rows/doc), per-occurrence md5 + 60 conditional-sum
+    expressions, and the full groupBy(doc_id) SHUFFLE of 61-bigint rows all
+    disappear (guide §4.2: batch native code beats JVM expression trees;
+    §2.4: the only shuffle left is none).  The kernel memoizes word→hash
+    across batches in a reused worker (§4.5)."""
+    import pandas as pd
+
+    from logtemplatecrawler_spark.operators.simhash import simhash60_batch
+
+    sig = F.pandas_udf(
+        lambda texts: pd.Series(simhash60_batch(texts), dtype="int64"),
+        "bigint",
     )
-    # For each bit i: sum over occurrences of (bit set ? +1 : -1) — equal to
-    # the oracle's sum over distinct words of ±tf; simhash bit i = sum > 0.
-    one = F.lit(1).cast("bigint")
-    bit_terms = [
-        F.sum(
-            F.when(F.shiftright(F.col("hw"), i).bitwiseAND(F.lit(1)) == 1, one)
-            .otherwise(-one)
-        ).alias(f"s{i}")
-        for i in range(60)
-    ]
-    sums = hashed.groupBy("doc_id").agg(*bit_terms)
-    sim = F.lit(0).cast("bigint")
-    for i in range(60):
-        bit = F.when(F.col(f"s{i}") > 0, F.lit(1).cast("bigint")).otherwise(
-            F.lit(0).cast("bigint")
-        )
-        sim = sim + bit * F.lit(2 ** i).cast("bigint")
-    return sums.select("doc_id", sim.alias("simhash"))
+    docs = _t(spark, sf_dir, "documents")
+    return docs.select("doc_id", sig("text").alias("simhash"))
 
 
 # 60-bit simhash split into 4 bands of 15 bits; by pigeonhole any pair at
