@@ -29,6 +29,17 @@ unchanged by construction (not merely "close").
 
 Pairs are generated in row-blocks (``block`` a-rows at a time) so per-task
 memory is O(block × |cell|) doubles regardless of cell size.
+
+Within-cell SALTING (r6, guide §2.5): the quadratic work of a cell is a
+skewed key — with few (or one hot) cells, ``groupBy(cell)`` caps
+parallelism at the cell count while every other core idles.  With
+``stride > 1`` the caller replicates each cell row to ``stride``
+(cell, blk) groups and the kernel computes ONLY the pairs whose a-row
+satisfies ``vec_id % stride == blk``: the (cell, blk) groups partition the
+cell's pair set exactly (each pair is owned by its a-row's residue class),
+and each pair's dot product is the same dimension-ordered fold regardless
+of which group computes it, so the union across groups is bit-identical to
+the unsalted kernel — only the task geometry changes.
 """
 
 from __future__ import annotations
@@ -40,9 +51,11 @@ import pandas as pd
 PAIR_SCHEMA = "doc_a bigint, doc_b bigint, dot double, na double, nb double"
 
 
-def make_cell_pair_fn(tau: float, margin: float = 1e-6, block: int = 256):
-    """Grouped-map fn for ``groupBy(cell).applyInPandas``: emits candidate
-    pairs (vec_a < vec_b) with unrounded cosine >= tau - margin."""
+def make_cell_pair_fn(tau: float, margin: float = 1e-6, block: int = 256,
+                      stride: int = 1):
+    """Grouped-map fn for ``groupBy(cell).applyInPandas`` (or, with
+    ``stride > 1``, ``groupBy(cell, blk)``): emits candidate pairs
+    (vec_a < vec_b) with unrounded cosine >= tau - margin."""
     cut = tau - margin
 
     def fn(pdf: pd.DataFrame) -> pd.DataFrame:
@@ -63,24 +76,36 @@ def make_cell_pair_fn(tau: float, margin: float = 1e-6, block: int = 256):
         # element-wise cast inside zip_with.
         mat = np.stack(pdf["embedding"].to_numpy()).astype(np.float64)
         dims = mat.shape[1]
+        if stride > 1:
+            # this group owns the pairs whose a-row is in its residue class
+            apos = np.flatnonzero(
+                (ids % stride) == int(pdf["blk"].iloc[0])
+            )
+            apos = apos[apos < n - 1]            # last row has no b > a
+        else:
+            apos = np.arange(n - 1)
+        prod = np.empty((min(block, max(len(apos), 1)), n), dtype=np.float64)
         out_a, out_b, out_dot, out_na, out_nb = [], [], [], [], []
-        for lo in range(0, n - 1, block):
-            hi = min(lo + block, n - 1)
-            blk = mat[lo:hi]                     # (b, dims)
-            acc = np.zeros((hi - lo, n), dtype=np.float64)
+        for lo in range(0, len(apos), block):
+            sel = apos[lo:lo + block]
+            if not len(sel):
+                continue
+            blk_rows = mat[sel]                  # (b, dims)
+            acc = np.zeros((len(sel), n), dtype=np.float64)
+            buf = prod[:len(sel)]
             for i in range(dims):                # sequential dim order ==
-                acc += blk[:, i:i + 1] * mat[None, :, i]   # the JVM fold
-            cos = acc / (nrm[lo:hi, None] * nrm[None, :])
+                np.multiply(blk_rows[:, i:i + 1], mat[None, :, i], out=buf)
+                acc += buf                       # the JVM fold
+            cos = acc / (nrm[sel, None] * nrm[None, :])
             # upper triangle only: global row index > a-row's index
             cols = np.arange(n)[None, :]
-            rows = (np.arange(lo, hi))[:, None]
-            keep = (cols > rows) & (cos >= cut)
+            keep = (cols > sel[:, None]) & (cos >= cut)
             ai, bi = np.nonzero(keep)
             if len(ai):
-                out_a.append(ids[ai + lo])
+                out_a.append(ids[sel[ai]])
                 out_b.append(ids[bi])
                 out_dot.append(acc[ai, bi])
-                out_na.append(nrm[ai + lo])
+                out_na.append(nrm[sel[ai]])
                 out_nb.append(nrm[bi])
         if not out_a:
             return pd.DataFrame(

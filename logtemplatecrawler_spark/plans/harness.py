@@ -4181,8 +4181,22 @@ def dedup_semantic_clustered_canonical(spark, sf_dir):
         .select("vec_id", "cell", "embedding", F.sqrt(sq_sum).alias("nrm"))
         .localCheckpoint()
     )
-    cand = vec.groupBy("cell").applyInPandas(
-        make_cell_pair_fn(_SEM_TAU), PAIR_SCHEMA
+    # r6 within-cell salting (guide §2.5): with only _SEM_CELLS grouping
+    # keys, groupBy(cell) caps the quadratic kernel at _SEM_CELLS tasks.
+    # Each cell row is replicated to `stride` (cell, blk) groups and each
+    # group computes exactly the pairs whose a-row has vec_id % stride ==
+    # blk — a disjoint exact partition of the pair set, bit-identical dots
+    # (see operators/semantic.py docstring).  stride is scale-adaptive:
+    # ~2 groups per core locally (hash-collision headroom, guide §2.5 —
+    # measured 4.4 s → 2.6 s at stride 4, → 2.3 s at stride 8 on the
+    # sf1-shaped dir), degrading to 1 (no replication) once the cell count
+    # itself saturates the cluster.
+    stride = max(1, 2 * spark.sparkContext.defaultParallelism // _SEM_CELLS)
+    rep = vec.withColumn(
+        "blk", F.explode(F.array(*[F.lit(j) for j in range(stride)]))
+    )
+    cand = rep.groupBy("cell", "blk").applyInPandas(
+        make_cell_pair_fn(_SEM_TAU, stride=stride), PAIR_SCHEMA
     )
     cos = F.round(F.col("dot") / (F.col("na") * F.col("nb")), 6)
     pairs = cand.where(cos >= _SEM_TAU).select("doc_a", "doc_b")
