@@ -42,6 +42,43 @@ from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
 
+def _uf_contract(batches):
+    """mapInPandas body: min-root union-find over this task's edge rows —
+    memory O(nodes seen by this task) — emitting one (node, component-min)
+    star edge per non-root node.  Deterministic: the root is the min id of
+    the node's local component, independent of edge order."""
+    parent: dict = {}
+
+    def find(x):
+        r = x
+        while parent[r] != r:
+            r = parent[r]
+        while parent[x] != r:
+            parent[x], x = r, parent[x]
+        return r
+
+    for pdf in batches:
+        for a, b in zip(pdf["a"], pdf["b"]):
+            a, b = int(a), int(b)
+            if a not in parent:
+                parent[a] = a
+            if b not in parent:
+                parent[b] = b
+            ra, rb = find(a), find(b)
+            if ra == rb:
+                continue
+            if ra < rb:
+                parent[rb] = ra
+            else:
+                parent[ra] = rb
+    import pandas as pd
+    nodes = list(parent)
+    roots = [find(x) for x in nodes]
+    out = pd.DataFrame({"a": nodes, "b": roots})
+    out = out[out["a"] != out["b"]]
+    yield out
+
+
 def _local_contract(edges: DataFrame) -> DataFrame:
     """PER-PARTITION union-find contraction (the MapReduce-CC "local
     filtering" device): each task runs a min-root union-find over ITS edge
@@ -55,43 +92,14 @@ def _local_contract(edges: DataFrame) -> DataFrame:
     latency-bound label-propagation loop converges in 1-3 rounds instead of
     O(log diameter), and the edge set the loop shuffles is already the
     contracted forest (≤ one edge per locally-seen node, vs the raw pair
-    fan-out).  Deterministic: the emitted root is the min id of the node's
-    local component, independent of edge order within the partition."""
-    def contract(batches):
-        parent: dict = {}
+    fan-out).  Returns the UNSYMMETRIZED star edges, checkpointed."""
+    return edges.mapInPandas(_uf_contract, "a bigint, b bigint") \
+        .localCheckpoint()
 
-        def find(x):
-            r = x
-            while parent[r] != r:
-                r = parent[r]
-            while parent[x] != r:
-                parent[x], x = r, parent[x]
-            return r
 
-        for pdf in batches:
-            for a, b in zip(pdf["a"], pdf["b"]):
-                a, b = int(a), int(b)
-                if a not in parent:
-                    parent[a] = a
-                if b not in parent:
-                    parent[b] = b
-                ra, rb = find(a), find(b)
-                if ra == rb:
-                    continue
-                if ra < rb:
-                    parent[rb] = ra
-                else:
-                    parent[ra] = rb
-        import pandas as pd
-        nodes = list(parent)
-        roots = [find(x) for x in nodes]
-        out = pd.DataFrame({"a": nodes, "b": roots})
-        out = out[out["a"] != out["b"]]
-        yield out
-
-    stars = edges.mapInPandas(contract, "a bigint, b bigint")
-    # symmetrize so the hash-min loop sees both directions, same as the raw
-    # edge table it replaces
+def _symmetrize(stars: DataFrame) -> DataFrame:
+    """Both directions of every star edge, so the hash-min loop sees the
+    same neighborhood structure as the raw symmetric edge table."""
     return (
         stars.select(
             F.explode(
@@ -102,27 +110,63 @@ def _local_contract(edges: DataFrame) -> DataFrame:
             ).alias("e")
         )
         .select("e.a", "e.b")
-        .localCheckpoint()
     )
 
 
 def connected_components(nodes: DataFrame, pairs: DataFrame,
                          id_col: str = "doc_id",
-                         max_iters: int = 64) -> Tuple[DataFrame, int]:
+                         max_iters: int = 64,
+                         local_max: int | None = None,
+                         ) -> Tuple[DataFrame, int]:
     """Label every node with its component's min id.
 
     ``nodes``: one column ``id_col`` (every node, including singletons).
     ``pairs``: undirected edges as columns ``(doc_a, doc_b)``.
+    ``local_max``: star-edge count up to which the contracted graph is
+    resolved exactly by ONE single-task union-find instead of the
+    distributed loop (default env ``SPARK_GRAFT_CC_LOCAL_MAX``, 2M).
     Returns ``(labels, n_iters)`` where labels has columns
     ``(id_col, cluster_id)``.
     """
+    import os
+
+    if local_max is None:
+        local_max = int(os.environ.get("SPARK_GRAFT_CC_LOCAL_MAX", "2000000"))
     # Undirected: the union-find needs each pair once, so the (expensive —
     # banded joins + verify) pair subtree executes exactly once here; the r5
     # unionByName symmetrization ran it twice.  The contracted star output
     # (far smaller) is what gets symmetrized for the hash-min loop.
-    edges = _local_contract(
+    stars = _local_contract(
         pairs.select(F.col("doc_a").alias("a"), F.col("doc_b").alias("b"))
     )
+    # r6 ENDGAME (the "filtering" CC shape — Lattanzi et al.'s MapReduce
+    # pattern: contract distributedly until the remainder fits one machine,
+    # then solve it exactly): the per-partition contraction leaves at most
+    # one star edge per locally-seen node, so on all but enormous
+    # near-dup graphs the remainder is tiny.  When it is under
+    # ``local_max`` rows (bounded task memory — the same O(nodes-seen)
+    # dict the per-partition pass already uses), ONE single-task
+    # union-find over the full star set produces the exact min-root label
+    # for every non-singleton node, and the whole latency-bound
+    # propagation loop (2+ rounds × multi-join DAGs + count jobs) is
+    # skipped.  Deterministic and identical by construction: union-find
+    # min-roots are order-independent, and the star union preserves the
+    # original connectivity exactly.  Past the threshold the distributed
+    # loop below remains the scale path.
+    if stars.count() <= local_max:
+        roots = stars.coalesce(1).mapInPandas(_uf_contract, "a bigint, b bigint")
+        labels = (
+            nodes.join(
+                roots.select(F.col("a").alias(id_col), F.col("b").alias("_root")),
+                id_col, "left",
+            )
+            .select(
+                id_col,
+                F.coalesce(F.col("_root"), F.col(id_col)).alias("cluster_id"),
+            )
+        )
+        return labels, 1
+    edges = _symmetrize(stars).localCheckpoint()
     labels = nodes.select(id_col, F.col(id_col).alias("cluster_id")) \
         .localCheckpoint()
     for it in range(max_iters):

@@ -209,7 +209,10 @@ def test_connected_components_one_job_per_iteration(spark):
     propagation frame instead of a second join+count job.  Measured with
     AQE off (adaptive stage materialization splits one action into several
     bookkeeping jobs); the old two-action loop would need ≥ 2·iters + 3
-    jobs here."""
+    jobs here.  r6: the loop path is FORCED via ``local_max=0`` — by
+    default a graph this small is resolved by the single-task union-find
+    endgame and never reaches the loop (covered by
+    test_cc_local_endgame_matches_loop below)."""
     from pyspark.sql import functions as F
 
     from logtemplatecrawler_spark.operators.components import (
@@ -225,7 +228,7 @@ def test_connected_components_one_job_per_iteration(spark):
             [(i, i + 1) for i in range(7)], "doc_a long, doc_b long"
         )
         sc.setJobGroup("cc-jobs", "cc one-job-per-iteration probe")
-        labels, iters = connected_components(nodes, pairs)
+        labels, iters = connected_components(nodes, pairs, local_max=0)
         got = {r["doc_id"]: r["cluster_id"] for r in labels.collect()}
     finally:
         spark.conf.set("spark.sql.adaptive.enabled", "true")
@@ -236,14 +239,42 @@ def test_connected_components_one_job_per_iteration(spark):
     jobs = len(sc.statusTracker().getJobIdsForGroup("cc-jobs"))
     # r5 accounting: per round, ONE change-count job plus at most one job
     # materializing the lazily-checkpointed contracted edge table (the r4
-    # redundant join+count bookkeeping job stays gone); plus 2 setup
-    # checkpoints and the final collect.  The contraction trades ≤1 extra
-    # SHRINKING-edge job per round for O(log d) rounds instead of d.
-    assert jobs <= 2 * iters + 4, jobs
+    # redundant join+count bookkeeping job stays gone); plus setup
+    # checkpoints, the star count and the final collect.  The contraction
+    # trades ≤1 extra SHRINKING-edge job per round for O(log d) rounds
+    # instead of d.
+    assert jobs <= 2 * iters + 5, jobs
 
     # the cap raises instead of returning partial labels
     with pytest.raises(RuntimeError, match="did not converge"):
-        connected_components(nodes, pairs, max_iters=1)
+        connected_components(nodes, pairs, max_iters=1, local_max=0)
+
+
+def test_cc_local_endgame_matches_loop(spark):
+    """r6: when the contracted star set fits ``local_max``, the single-task
+    union-find endgame must produce EXACTLY the labels the distributed
+    loop produces — same adversarial multi-partition graph, both paths."""
+    from pyspark.sql import functions as F
+
+    from logtemplatecrawler_spark.operators.components import (
+        connected_components,
+    )
+
+    raw = (
+        [(i, i + 1) for i in range(30)]
+        + [(100 + i, 100 + j) for i in range(5) for j in range(i)]
+        + [(30, 100), (200, 201)]
+    )
+    nodes = sorted({n for e in raw for n in e} | {998, 999})
+    pairs = spark.createDataFrame(raw, "doc_a long, doc_b long").repartition(8)
+    nodes_df = spark.createDataFrame([(n,) for n in nodes], "doc_id long")
+    fast, fast_iters = connected_components(nodes_df, pairs)
+    slow, _ = connected_components(nodes_df, pairs, local_max=0)
+    fast_map = {r["doc_id"]: r["cluster_id"] for r in fast.collect()}
+    slow_map = {r["doc_id"]: r["cluster_id"] for r in slow.collect()}
+    assert fast_map == slow_map
+    assert fast_iters == 1  # endgame path: no distributed rounds
+    assert fast_map[999] == 999 and fast_map[998] == 998  # singletons
 
 
 def test_intersect_counts_matches_join_count():
