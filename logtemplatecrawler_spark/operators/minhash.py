@@ -24,9 +24,100 @@ SAME constants (the harness pattern used for simhash/hyperplane LSH).
 
 from __future__ import annotations
 
-from typing import List, Tuple
+import hashlib
+from typing import List, Optional, Tuple
 
 MINHASH_P = 2147483647  # 2^31 - 1, Mersenne prime: (hw % P) * a + b stays in int64
+
+# shingle string → 60-bit md5-prefix hash memo, shared across batches in a
+# reused Python worker (guide §4.5); the cap bounds worker memory on
+# open-vocabulary corpora.  The md5 of a string is immutable, so caching is
+# semantics-free.
+_HW_CACHE: dict = {}
+_HW_CACHE_CAP = 1_000_000
+
+
+def doc_shingle_hashes(text: str) -> Optional[list]:
+    """Per-document DISTINCT word-bigram shingle hashes, ascending — the
+    row-local twin of the harness's shingle pipeline (split on single
+    spaces, bigram join with one space, first 15 hex chars of md5 as a
+    60-bit int, distinct applied to shingle STRINGS before hashing, so an
+    md5-prefix collision between two distinct shingles keeps both hashes —
+    exactly the relational ``SELECT DISTINCT doc_id, w … md5(w)`` order of
+    operations).  Returns None for documents with fewer than two tokens
+    (the oracle's ``array_length(ws) >= 2`` gate)."""
+    ws = text.split(" ")
+    if len(ws) < 2:
+        return None
+    out = []
+    seen = set()
+    for i in range(len(ws) - 1):
+        s = ws[i] + " " + ws[i + 1]
+        if s in seen:
+            continue
+        seen.add(s)
+        hw = _HW_CACHE.get(s)
+        if hw is None:
+            hw = int(hashlib.md5(s.encode("utf-8")).hexdigest()[:15], 16)
+            if len(_HW_CACHE) < _HW_CACHE_CAP:
+                _HW_CACHE[s] = hw
+        out.append(hw)
+    out.sort()
+    return out
+
+
+def make_shingle_array_fn():
+    """mapInPandas body: (doc_id, text) batches → (doc_id, hws) rows, hws
+    the sorted distinct-shingle hash array; <2-token docs are dropped —
+    identical to explode→distinct→md5→sort_array(collect_list) with the
+    two full shuffles of shingle strings removed (guide §2.4/§4.2)."""
+    def fn(batches):
+        import pandas as pd
+
+        for pdf in batches:
+            ids, arrs = [], []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hws = doc_shingle_hashes(text)
+                if hws is None:
+                    continue
+                ids.append(doc_id)
+                arrs.append(hws)
+            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
+                                "hws": pd.Series(arrs, dtype="object")})
+
+    return fn
+
+
+def make_minhash_sig_fn(coefs: List[Tuple[int, int]]):
+    """mapInPandas body: (doc_id, text) batches → (doc_id, mh0..mhN) minhash
+    signature rows.  mh_i = min over the doc's shingle hashes of
+    ((hw % P) * a_i + b_i) % P — min over the DISTINCT hash set equals min
+    over the occurrence multiset, so this matches both stated forms.  All
+    arithmetic stays int64-exact ((P-1) * max(a) + max(b) < 2^42)."""
+    def fn(batches):
+        import numpy as np
+        import pandas as pd
+
+        A = np.array([a for a, _ in coefs], dtype=np.int64)[None, :]
+        B = np.array([b for _, b in coefs], dtype=np.int64)[None, :]
+        for pdf in batches:
+            ids = []
+            mins = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                hws = doc_shingle_hashes(text)
+                if hws is None:
+                    continue
+                h = np.asarray(hws, dtype=np.int64)[:, None] % MINHASH_P
+                ids.append(doc_id)
+                mins.append(((h * A + B) % MINHASH_P).min(axis=0))
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            m = (np.stack(mins) if mins
+                 else np.empty((0, len(coefs)), dtype=np.int64))
+            for i in range(len(coefs)):
+                out[f"mh{i}"] = pd.Series(m[:, i], dtype="int64")
+            yield pd.DataFrame(out)
+
+    return fn
 
 
 def _primes(n: int) -> List[int]:

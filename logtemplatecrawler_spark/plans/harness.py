@@ -519,49 +519,30 @@ def _minhash_sql_core() -> str:
     return _shingle_sig_sql(_MINHASH_COEF)
 
 
-def _shingle_hashes(spark, sf_dir, distinct: bool = True):
-    """documents → (doc_id, hw): word-bigram shingles hashed to a portable
-    60-bit integer — shared by the fixed-8-perm and the
-    threshold-parameterized minhash plans.
-
-    ``distinct=True`` (the oracle's stated form) dedups shingle STRINGS per
-    doc before hashing — required wherever per-doc shingle-set SIZES or hw
-    equi-joins feed the result (the exact-Jaccard verify).  The signature
-    path passes ``distinct=False``: ``min`` over the hashed multiset equals
-    ``min`` over the hashed set, so skipping the distinct removes a full
-    shuffle of the shingle strings (guide §2.4) without changing any
-    signature value."""
-    docs = _t(spark, sf_dir, "documents")
-    toks = docs.select("doc_id", F.split("text", " ").alias("ws")).where(
-        F.size("ws") >= 2
-    )
-    shingles = toks.select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(sequence(1, size(ws)-1),"
-                " i -> concat(element_at(ws, i), ' ', element_at(ws, i+1)))"
-            )
-        ).alias("w"),
-    )
-    if distinct:
-        shingles = shingles.distinct()
-    return shingles.select(
-        "doc_id",
-        F.conv(F.substring(F.md5("w"), 1, 15), 16, 10).cast("bigint").alias("hw"),
-    )
-
-
 def _minhash_sigs(spark, sf_dir, coefs):
-    # distinct=False: min() is insensitive to duplicate shingles, so the
-    # per-doc string distinct (one whole shuffle of the shingle text) is
-    # dropped; signatures are identical (docstring of _shingle_hashes).
-    aggs = [
-        F.min(((F.col("hw") % _MINHASH_P) * a + b) % _MINHASH_P).alias(f"mh{i}")
-        for i, (a, b) in enumerate(coefs)
-    ]
-    return _shingle_hashes(spark, sf_dir, distinct=False).groupBy(
-        "doc_id").agg(*aggs)
+    """documents → (doc_id, mh0..mhN) minhash signatures.
+
+    r6: signatures are PER-DOCUMENT work, so they run as one mapInPandas
+    kernel (operators/minhash.make_minhash_sig_fn) over (doc_id, text) —
+    the r5 plan exploded each doc to shingle rows (split + transform +
+    per-shingle md5 + conv as JVM expressions) and shuffled them through a
+    groupBy(doc_id) min-aggregation; the kernel computes the identical
+    int64-exact mins with zero shuffle and a shingle→hash memo reused
+    across batches (guide §4.2/§4.5, §2.4).  Equality is exact: md5-prefix
+    hashes and the (hw%P)*a+b mod-P mins are integer arithmetic stated
+    identically on both sides; min over the distinct shingle set equals
+    min over the occurrence multiset, so the oracle's DISTINCT form is
+    matched too.  <2-token docs produce no row, matching the oracle's
+    ``array_length(ws) >= 2`` gate."""
+    from logtemplatecrawler_spark.operators.minhash import make_minhash_sig_fn
+
+    docs = _t(spark, sf_dir, "documents")
+    schema = "doc_id bigint, " + ", ".join(
+        f"mh{i} bigint" for i in range(len(coefs))
+    )
+    return docs.select("doc_id", "text").mapInPandas(
+        make_minhash_sig_fn(coefs), schema
+    )
 
 
 @_q("dedup_minhash_signatures", sql=_minhash_sql_core() + """
@@ -2163,10 +2144,19 @@ def _lsh_cluster_labels(spark, sf_dir):
     from logtemplatecrawler_spark.operators.jaccard import (
         INTER_SCHEMA, intersect_counts,
     )
+    from logtemplatecrawler_spark.operators.minhash import make_shingle_array_fn
 
-    hashes = _shingle_hashes(spark, sf_dir)
-    harr = hashes.groupBy("doc_id").agg(
-        F.sort_array(F.collect_list("hw")).alias("hws")
+    # r6: the per-doc sorted distinct-shingle hash arrays come straight
+    # from the mapInPandas kernel (operators/minhash.make_shingle_array_fn)
+    # — the r5 pipeline exploded shingles, ran a DISTINCT (one full
+    # shuffle of ~50-char shingle strings) and a groupBy(doc_id)
+    # collect_list (a second full shuffle); the kernel builds the same
+    # arrays per doc with zero shuffle (string-distinct before hashing, so
+    # md5-prefix collisions keep both hashes — the exact relational order
+    # of operations the oracle states).
+    docs = _t(spark, sf_dir, "documents")
+    harr = docs.select("doc_id", "text").mapInPandas(
+        make_shingle_array_fn(), "doc_id bigint, hws array<bigint>"
     ).localCheckpoint()
     inter = (
         cand.join(harr.select(F.col("doc_id").alias("doc_a"),
