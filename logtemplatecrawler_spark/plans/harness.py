@@ -2793,6 +2793,17 @@ def ann_ivfpq_search(spark, sf_dir):
     near-orthogonal fixtures is coarse — the test pins the numpy-oracle
     equivalence and the plumbing, not retrieval quality)."""
     flat, cents = _pq_flat_cents(spark, sf_dir)
+    # r6: the codebook is broadcast THREE times here (codes, coarse dists,
+    # LUT) and each broadcast re-ran the full long-form groupBy that
+    # builds it (no ReusedExchange across the three subtrees — verified in
+    # plans/r06).  One eager checkpoint of the 512-row table computes it
+    # once; values are bit-identical (same plan, executed once instead of
+    # thrice).  2.33 s → 1.44 s min-of-3 at the sf1-shaped dir.  (A
+    # checkpoint of `flat` itself was measured SLOWER — the scan+explode
+    # recompute is fully pipelined codegen and beats materializing the
+    # long form; same result for the ivf_search/trained entries, left
+    # unchanged.)
+    cents = cents.localCheckpoint()
     codes = _pq_codes(flat, cents)
     # coarse assignment (same shape as `ann_ivf_search` probe-1)
     dists = (
