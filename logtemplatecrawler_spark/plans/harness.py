@@ -1099,10 +1099,21 @@ def text_tfidf_topk(spark, sf_dir):
     (WindowGroupLimit caps each key map-side).  Scores are rounded to 6 dp
     BEFORE ranking on both engines so the cross-engine float comparison
     (Java Math.log vs libm) is stable; term is the total-order tiebreak."""
+    # r6: the tf table is per-document work — one mapInPandas kernel
+    # (operators/textstats.make_tf_fn) emits the identical (doc_id, w, tf)
+    # rows with zero shuffle, replacing the explode + groupBy(doc_id, w)
+    # shuffle of ~10M word rows.  Document frequencies follow from tf
+    # (one row per distinct word per doc, so count(*) per w ==
+    # countDistinct(doc_id) over occurrences — same integers), which also
+    # drops the second explode + distinct-expansion shuffle the r5 dfreq
+    # paid.  tf feeds two consumers, so it is checkpointed once.
+    from logtemplatecrawler_spark.operators.textstats import make_tf_fn
+
     docs = _t(spark, sf_dir, "documents")
-    words = docs.select("doc_id", F.explode(F.split("text", " ")).alias("w"))
-    tf = words.groupBy("doc_id", "w").agg(F.count("*").alias("tf"))
-    dfreq = words.groupBy("w").agg(F.countDistinct("doc_id").alias("df"))
+    tf = docs.select("doc_id", "text").mapInPandas(
+        make_tf_fn(), "doc_id bigint, w string, tf bigint"
+    ).localCheckpoint()
+    dfreq = tf.groupBy("w").agg(F.count("*").alias("df"))
     n = docs.agg(F.count("*").cast("double").alias("n"))
     scored = (
         tf.join(dfreq, "w")
@@ -4246,25 +4257,22 @@ def text_repetition_stats(spark, sf_dir):
     per-doc rollup joined on doc_id — no windows beyond the per-doc lag,
     no corpus-global state at all (unlike the LM scorer, this filter is
     embarrassingly doc-parallel)."""
+    # r6: all four statistics are per-document integers, so they run as ONE
+    # mapInPandas kernel over (doc_id, text) (operators/textstats.py) — the
+    # r5 plan exploded 10M word rows, shuffled a (doc_id, w) groupBy, ran a
+    # per-doc LAG WINDOW (a full sort) and a countDistinct shuffle, then
+    # joined the two rollups.  Counter/set arithmetic yields the identical
+    # integers, and the kernel reproduces the oracle's INNER-join gate
+    # (docs with <2 tokens emit no bigram row, hence no output row).
+    from logtemplatecrawler_spark.operators.textstats import (
+        make_repetition_stats_fn,
+    )
+
     docs = _t(spark, sf_dir, "documents").select("doc_id", "text")
-    words = docs.select(
-        "doc_id", F.posexplode(F.split("text", " ")).alias("pos", "w")
-    )
-    wc = words.groupBy("doc_id", "w").agg(F.count("*").alias("c"))
-    uni = wc.groupBy("doc_id").agg(
-        F.sum("c").cast("bigint").alias("n_tokens"),
-        F.count("*").alias("n_distinct_words"),
-        F.max("c").cast("bigint").alias("top_word_count"),
-    )
-    bigr = words.withColumn(
-        "prev", F.lag("w").over(Window.partitionBy("doc_id").orderBy("pos"))
-    ).where(F.col("prev").isNotNull())
-    bi = bigr.groupBy("doc_id").agg(
-        F.countDistinct("prev", "w").alias("n_distinct_bigrams")
-    )
-    return uni.join(bi, "doc_id").select(
-        "doc_id", "n_tokens", "n_distinct_words", "top_word_count",
-        "n_distinct_bigrams",
+    return docs.mapInPandas(
+        make_repetition_stats_fn(),
+        "doc_id bigint, n_tokens bigint, n_distinct_words bigint,"
+        " top_word_count bigint, n_distinct_bigrams bigint",
     )
 
 
