@@ -66,24 +66,35 @@ def doc_shingle_hashes(text: str) -> Optional[list]:
     return out
 
 
-def make_shingle_array_fn():
-    """mapInPandas body: (doc_id, text) batches → (doc_id, hws) rows, hws
-    the sorted distinct-shingle hash array; <2-token docs are dropped —
-    identical to explode→distinct→md5→sort_array(collect_list) with the
-    two full shuffles of shingle strings removed (guide §2.4/§4.2)."""
+def make_sig_and_array_fn(coefs: List[Tuple[int, int]]):
+    """mapInPandas body: (doc_id, text) batches → (doc_id, mh0..mhN, hws)
+    rows — the minhash signature AND the sorted distinct-shingle hash
+    array from ONE pass over each document (the LSH-then-verify
+    composition needs both; computing them together halves the kernel
+    passes and checkpoints one combined table)."""
     def fn(batches):
+        import numpy as np
         import pandas as pd
 
+        A = np.array([a for a, _ in coefs], dtype=np.int64)[None, :]
+        B = np.array([b for _, b in coefs], dtype=np.int64)[None, :]
         for pdf in batches:
-            ids, arrs = [], []
+            ids, mins, arrs = [], [], []
             for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
                 hws = doc_shingle_hashes(text)
                 if hws is None:
                     continue
+                h = np.asarray(hws, dtype=np.int64)[:, None] % MINHASH_P
                 ids.append(doc_id)
+                mins.append(((h * A + B) % MINHASH_P).min(axis=0))
                 arrs.append(hws)
-            yield pd.DataFrame({"doc_id": pd.Series(ids, dtype="int64"),
-                                "hws": pd.Series(arrs, dtype="object")})
+            out = {"doc_id": pd.Series(ids, dtype="int64")}
+            m = (np.stack(mins) if mins
+                 else np.empty((0, len(coefs)), dtype=np.int64))
+            for i in range(len(coefs)):
+                out[f"mh{i}"] = pd.Series(m[:, i], dtype="int64")
+            out["hws"] = pd.Series(arrs, dtype="object")
+            yield pd.DataFrame(out)
 
     return fn
 

@@ -2140,35 +2140,48 @@ def _lsh_cluster_labels(spark, sf_dir):
 
     coefs = minhash_coefficients(_TUNED_PERMS)
     bands, rows = lsh_banding(_TUNED_PERMS, _TUNED_THRESHOLD)
-    sigs = _minhash_sigs(spark, sf_dir, coefs).localCheckpoint()
-    cand = _band_pairs(sigs, bands=bands, rows=rows)
-    # Exact verify over candidates only.  r6: instead of expanding the
-    # candidate stream against the per-doc hash table twice (~|shingles|
-    # rows per candidate per side — a 53M-row join pipeline at the
-    # sf1-shaped bench), each doc's SORTED hash array is attached once and
-    # a binary-search kernel (operators/jaccard.py) counts matches — an
-    # all-integer restatement of the r5 join-count, equal by construction
-    # (incl. duplicate-hash multiplicities).  The Jaccard threshold stays
-    # in the JVM as the original predicate over (i, na, nb).  The array
-    # table is checkpointed so the planner sees its true (small) size and
-    # auto-broadcasts while it fits, degrading to a shuffle join at scale.
+    # r6: signatures AND the per-doc sorted distinct-shingle hash arrays
+    # come from ONE mapInPandas pass over (doc_id, text)
+    # (operators/minhash.make_sig_and_array_fn), checkpointed once — the
+    # r5 pipeline computed them as two explode/shuffle pipelines (the
+    # array side paid a DISTINCT shuffle of shingle strings plus a
+    # collect_list shuffle), and the first r6 cut still ran two separate
+    # kernel passes over the same text.  String-distinct before hashing
+    # (md5-prefix collisions keep both hashes) and the <2-token gate are
+    # the oracle's exact order of operations; the signature mins are
+    # identical over set or multiset.
     from logtemplatecrawler_spark.operators.jaccard import (
         INTER_SCHEMA, intersect_counts,
     )
-    from logtemplatecrawler_spark.operators.minhash import make_shingle_array_fn
+    from logtemplatecrawler_spark.operators.minhash import make_sig_and_array_fn
 
-    # r6: the per-doc sorted distinct-shingle hash arrays come straight
-    # from the mapInPandas kernel (operators/minhash.make_shingle_array_fn)
-    # — the r5 pipeline exploded shingles, ran a DISTINCT (one full
-    # shuffle of ~50-char shingle strings) and a groupBy(doc_id)
-    # collect_list (a second full shuffle); the kernel builds the same
-    # arrays per doc with zero shuffle (string-distinct before hashing, so
-    # md5-prefix collisions keep both hashes — the exact relational order
-    # of operations the oracle states).
     docs = _t(spark, sf_dir, "documents")
-    harr = docs.select("doc_id", "text").mapInPandas(
-        make_shingle_array_fn(), "doc_id bigint, hws array<bigint>"
+    combo_schema = (
+        "doc_id bigint, "
+        + ", ".join(f"mh{i} bigint" for i in range(len(coefs)))
+        + ", hws array<bigint>"
+    )
+    combo = docs.select("doc_id", "text").mapInPandas(
+        make_sig_and_array_fn(coefs), combo_schema
     ).localCheckpoint()
+    # narrow re-checkpoint: the band self-joins read the signature table
+    # 2×bands times, and checkpointed rows deserialize whole — leaving the
+    # hws arrays in would make every band read pay for them (measured:
+    # 5.9 → 5.3 s interleaved min-of-3 at the sf1-shaped dir).
+    sigs = combo.drop("hws").localCheckpoint()
+    cand = _band_pairs(sigs, bands=bands, rows=rows)
+    # Exact verify over candidates only (r6, session 1): instead of
+    # expanding the candidate stream against the per-doc hash table twice
+    # (~|shingles| rows per candidate per side — a 53M-row join pipeline
+    # at the sf1-shaped bench), each doc's SORTED hash array is attached
+    # once and a binary-search kernel (operators/jaccard.py) counts
+    # matches — an all-integer restatement of the r5 join-count, equal by
+    # construction (incl. duplicate-hash multiplicities).  The Jaccard
+    # threshold stays in the JVM as the original predicate over
+    # (i, na, nb).  The combined table is checkpointed so the planner
+    # sees its true (small) size and auto-broadcasts while it fits,
+    # degrading to a shuffle join at scale.
+    harr = combo.select("doc_id", "hws")
     inter = (
         cand.join(harr.select(F.col("doc_id").alias("doc_a"),
                               F.col("hws").alias("hwa")), "doc_a")
