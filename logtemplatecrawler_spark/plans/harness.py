@@ -4481,6 +4481,16 @@ def crawl_host_rank(spark, sf_dir):
                     )
                 ).cast("bigint").alias("pr"),
             )
+            # r6: eager per-iteration checkpoint of the |hosts|-row rank
+            # table.  Without it the plan EMBEDS the previous iteration
+            # twice (via dang and inc), growing ~3^iters — the static plan
+            # printed 84 BroadcastExchange nodes at 3 iterations and
+            # Catalyst planning itself became a cost.  Checkpointing 60
+            # bigint rows per round is trivially cheap, keeps the plan
+            # constant-depth, and changes no integer (1.37 → 1.19 s
+            # interleaved min-of-3 at the sf1-shaped dir; the composed
+            # crawl_pop_by_host_rank inherits the win).
+            .localCheckpoint()
         )
     return ranks.select("host", "pr")
 
