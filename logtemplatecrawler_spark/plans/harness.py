@@ -842,6 +842,20 @@ def _simhash_pairs_frame(spark, sf_dir):
     simhash near-dup pairs via banded candidate generation."""
     sims = _simhash_frame(spark, sf_dir).localCheckpoint()
     a, b = sims.alias("a"), sims.alias("b")
+    # r6: VERIFY before DISTINCT, and IN PLACE.  Both signatures are
+    # already columns of every band self-join, so the exact-Hamming verify
+    # is a bit_count filter applied directly inside each band piece — the
+    # r5 shape re-joined the signature table twice to re-fetch them, two
+    # broadcast probes over the full candidate stream (a pair can appear
+    # once per band, and band collisions explode quadratically on
+    # near-dup-heavy corpora: 27M candidate rows at the sf1-shaped
+    # bench).  Filtering inside the piece also shrinks the distinct's
+    # input to the verified survivors (verify∘distinct ≡ distinct∘verify
+    # for a deterministic per-pair predicate), so the only shuffle left is
+    # the distinct over true near-dup pairs.
+    hamming = F.bit_count(
+        F.col("a.simhash").bitwiseXOR(F.col("b.simhash"))
+    ).cast("bigint")
     cand = None
     for band in range(_SIMHASH_BANDS):
         key = lambda side: (
@@ -852,32 +866,12 @@ def _simhash_pairs_frame(spark, sf_dir):
             a.join(b, (F.col("a.doc_id") < F.col("b.doc_id"))
                    & (key("a") == key("b")))
             .select(F.col("a.doc_id").alias("doc_a"),
-                    F.col("b.doc_id").alias("doc_b"))
+                    F.col("b.doc_id").alias("doc_b"),
+                    hamming.alias("hamming"))
+            .where(F.col("hamming") <= _SIMHASH_HAMMING)
         )
         cand = piece if cand is None else cand.unionByName(piece)
-    # r6: VERIFY before DISTINCT.  The per-pair verify is two broadcast
-    # probes of the tiny signature table plus a bit_count filter — no
-    # shuffle — while the distinct is a full shuffle of the candidate
-    # stream (a pair can appear once per band, and band collisions explode
-    # quadratically on near-dup-heavy corpora: 27M candidate rows at the
-    # sf1-shaped bench).  Filtering first shrinks the distinct's input to
-    # the verified survivors; the result set is identical because the
-    # verify is a deterministic per-pair predicate (verify∘distinct ≡
-    # distinct∘verify).
-    sa = sims.select(F.col("doc_id").alias("doc_a"), F.col("simhash").alias("ha"))
-    sb = sims.select(F.col("doc_id").alias("doc_b"), F.col("simhash").alias("hb"))
-    hamming = F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))).cast("bigint")
-    return (
-        # (join strategy left to the planner: the checkpointed signature
-        # table carries size stats, so it auto-broadcasts while it fits and
-        # degrades to a shuffle join past the threshold — no hard hint)
-        cand.join(sa, "doc_a")
-        .join(sb, "doc_b")
-        .withColumn("hamming", hamming)
-        .where(F.col("hamming") <= _SIMHASH_HAMMING)
-        .select("doc_a", "doc_b", "hamming")
-        .distinct()
-    )
+    return cand.distinct()
 
 
 @_q("dedup_simhash_canonical", sql=f"""
