@@ -81,7 +81,8 @@ def _table_rows(path: str) -> int:
     return rows
 
 
-def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+def _t(spark: SparkSession, sf_dir: str, name: str,
+       spread: bool = True) -> DataFrame:
     """Read a fixture table, spreading large single-row-group files across
     the cluster.  The driver-generated parquet fixtures are written as ONE
     row group per file (verified up to 600k rows at sf0.1), and Spark
@@ -94,11 +95,18 @@ def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     threshold (below that the exchange costs more than the single-task
     scan work it parallelizes — measured, see ``_SPREAD_KEYS``);
     warehouse-scale tables scan as thousands of splits and pass through
-    untouched."""
+    untouched.
+
+    ``spread=False`` opts a caller out entirely: queries whose downstream
+    per-row work is a single hash/projection (exact dedup, split assign,
+    domain mix) or that re-shuffle to tiny rows immediately (the host-graph
+    edge build's modular-arithmetic distinct) lose more to the extra
+    exchange than the parallel scan recovers — measured at the sf1-shaped
+    dir, see OPTIMIZATION_r06.md."""
     path = f"{sf_dir}/{name}.parquet"
     df = spark.read.parquet(path)
     spec = _SPREAD_KEYS.get(name)
-    if spec is None:
+    if spec is None or not spread:
         return df
     key, min_rows = spec
     n = spark.sparkContext.defaultParallelism
@@ -412,9 +420,9 @@ def w3_dedup(spark, sf_dir):
 """)
 def dedup_exact(spark, sf_dir):
     """Exact dedup: hash-groupBy, keep min doc_id per fingerprint."""
-    return _t(spark, sf_dir, "documents").groupBy(F.md5("text").alias("fp")).agg(
-        F.min("doc_id").alias("keeper"), F.count("*").alias("n")
-    )
+    return _t(spark, sf_dir, "documents", spread=False).groupBy(
+        F.md5("text").alias("fp")
+    ).agg(F.min("doc_id").alias("keeper"), F.count("*").alias("n"))
 
 
 @_q("dedup_jaccard_words", sql="""
@@ -1636,7 +1644,7 @@ def ann_lsh_bucket_search(spark, sf_dir):
     from logtemplatecrawler_spark.operators.similarity import make_lsh_bucket
 
     bucket_udf = make_lsh_bucket(_SEARCH_PLANES)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     # At warehouse scale `buckets` is a materialized index column written at
     # ingest (and the bucket is the partition key); the localCheckpoint
     # stands in — without it the probe and the candidate cut each rescan +
@@ -2331,7 +2339,7 @@ def ann_lsh_multiprobe_search(spark, sf_dir):
     from logtemplatecrawler_spark.operators.similarity import make_lsh_bucket
 
     bucket_udf = make_lsh_bucket(_SEARCH_PLANES)
-    emb = _t(spark, sf_dir, "embeddings")
+    emb = _t(spark, sf_dir, "embeddings", spread=False)
     buckets = emb.select(
         "vec_id", bucket_udf(F.col("embedding")).alias("bucket")
     ).localCheckpoint()
@@ -4088,7 +4096,7 @@ def curation_split_assign(spark, sf_dir):
         (F.ascii(F.substring(h, 1, 1)) * 256 + F.ascii(F.substring(h, 2, 1)))
         % 100
     )
-    return _t(spark, sf_dir, "documents").select(
+    return _t(spark, sf_dir, "documents", spread=False).select(
         "doc_id",
         bucket.cast("bigint").alias("bucket"),
         F.when(bucket >= 98, "test")
@@ -4313,7 +4321,7 @@ def curation_domain_mix_sample(spark, sf_dir):
     dynamic (a broadcast 1-row filter after the window); a production run
     that fixes the quota as a literal additionally gets the map-side
     WindowGroupLimit cut, as `w1_politeness_queue` demonstrates."""
-    docs = _t(spark, sf_dir, "documents")
+    docs = _t(spark, sf_dir, "documents", spread=False)
     quota = (
         docs.groupBy("lang").agg(F.count("*").alias("c"))
         .agg(F.min("c").cast("bigint").alias("q"))
@@ -4401,7 +4409,7 @@ def _host_rank_edges(spark, sf_dir):
     """Deterministic host-link graph from ``events``: two modular edge
     families, self-loops dropped, hosts >= _PR_SRC_CAP never source (so
     the dangling-mass term is exercised)."""
-    ev = _t(spark, sf_dir, "events").select("event_id")
+    ev = _t(spark, sf_dir, "events", spread=False).select("event_id")
     src = (F.col("event_id") % _PR_HOSTS).alias("src")
     e1 = ev.select(src, ((F.col("event_id") * 7 + 3) % _PR_HOSTS).alias("dst"))
     e2 = ev.where(F.col("event_id") % 3 == 0).select(
