@@ -86,10 +86,19 @@ def _flag_fn(hamming: int):
         n = len(prev)
         buf[:n] = prev
         ids, dups = [], []
-        for pdf in batches:
-            # smaller doc_id = "earlier" within a batch — the SAME
-            # convention in every band bucket, so the four per-band
-            # verdicts for one doc describe one consistent arrival order.
+        # smaller doc_id = "earlier" within a batch — the SAME convention
+        # in every band bucket, so the four per-band verdicts for one doc
+        # describe one consistent arrival order.  A bucket larger than the
+        # Arrow batch size arrives as SEVERAL chunks in shuffle order, so
+        # the sort must cover the WHOLE group: sorting each chunk alone
+        # breaks the order contract the moment a bucket outgrows one chunk
+        # (duplicate-heavy corpora inflate buckets well past it).  The
+        # concat is O(group) memory — the same bound the retained
+        # signature state already has.
+        chunks = list(batches)
+        if chunks:
+            pdf = chunks[0] if len(chunks) == 1 else pd.concat(
+                chunks, ignore_index=True)
             pdf = pdf.sort_values("doc_id")
             for did, sig in zip(pdf["doc_id"], pdf["simhash"]):
                 sig = int(sig)

@@ -30,6 +30,11 @@ def main() -> int:
     )
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
+    # quadratic twins (e.g. the within-cell semantic pair SQL) need room at
+    # stress scale: let DuckDB spill to disk instead of dying in-memory
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    con.execute("SET max_temp_directory_size='60GiB'")
+    con.execute("SET memory_limit='48GiB'")
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf}/{t}.parquet')"

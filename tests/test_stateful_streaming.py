@@ -110,6 +110,73 @@ def test_simhash60_batch_matches_scalar(spark):
     assert simhash60_batch(texts) == expect  # memo warm — still identical
 
 
+def test_flag_fn_orders_across_arrow_chunks():
+    """r6 fix: a band bucket bigger than one Arrow chunk arrives as SEVERAL
+    pandas DataFrames in shuffle order; the state function must sort the
+    WHOLE group by doc_id, not each chunk alone.  Feed two chunks whose
+    doc_id ranges interleave and pin the verdicts to the sorted-order
+    online oracle (first arrival of each signature neighborhood wins)."""
+    import pandas as pd
+
+    from logtemplatecrawler_spark.streaming.content_dedup import _flag_fn
+
+    class _FakeState:
+        exists = False
+
+        def update(self, value):
+            self.updated = value
+
+    # identical signature everywhere: exactly ONE doc (the global min
+    # doc_id, which lives in the SECOND chunk) may come out non-dup
+    chunk_a = pd.DataFrame({"doc_id": [10, 30, 50], "simhash": [7, 7, 7]})
+    chunk_b = pd.DataFrame({"doc_id": [5, 20, 40], "simhash": [7, 7, 7]})
+    state = _FakeState()
+    (out,) = _flag_fn(3)((0, 7), [chunk_a, chunk_b], state)
+    verdicts = dict(zip(out["doc_id"], out["is_dup_in_band"]))
+    assert verdicts == {5: False, 10: True, 20: True, 30: True, 40: True,
+                        50: True}
+    # state keeps every signature of the group, in arrival (sorted) order
+    assert state.updated == ([7] * 6,)
+
+
+def test_streaming_near_dup_multi_chunk_bucket(spark, tmp_path):
+    """End-to-end drain where one band bucket (600 exact dups) outgrows the
+    256-row Arrow chunk the test session uses: only the smallest doc_id of
+    the clique may be admitted, no matter how the chunks arrive."""
+    from logtemplatecrawler_spark.streaming.content_dedup import (
+        near_dup_verdicts, streaming_near_dup_flags,
+    )
+
+    text = "the same boilerplate sentence repeated across many mirrors"
+    # shuffled doc_ids so chunk order != doc_id order
+    ids = [((i * 379) % 601) + 100 for i in range(600)]
+    assert len(set(ids)) == 600
+    src = str(tmp_path / "src")
+    os.makedirs(src, exist_ok=True)
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ck")
+    df = spark.createDataFrame([(i, text) for i in ids],
+                               "doc_id bigint, text string")
+    df.coalesce(2).write.mode("overwrite").parquet(f"{src}/b0")
+    k = 0
+    for f in sorted(os.listdir(f"{src}/b0")):
+        if f.endswith(".parquet"):
+            os.rename(f"{src}/b0/{f}", f"{src}/batch{k}.parquet")
+            k += 1
+    stream = (
+        spark.readStream.schema("doc_id bigint, text string")
+        .option("maxFilesPerTrigger", "1000000")
+        .parquet(src)
+    )
+    _drain(streaming_near_dup_flags(stream), out, ckpt)
+    got = {
+        r["doc_id"]: r["near_dup"]
+        for r in near_dup_verdicts(spark.read.parquet(out)).collect()
+    }
+    assert len(got) == 600
+    admitted = sorted(d for d, dup in got.items() if not dup)
+    assert admitted == [min(ids)]
+
+
 def test_streaming_near_dup_matches_online_oracle(spark, tmp_path):
     """Two micro-batches of fixture docs (plus injected exact dups) through
     `streaming_near_dup_flags` with a persistent checkpoint: the resolved
