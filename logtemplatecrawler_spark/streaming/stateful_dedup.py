@@ -40,12 +40,16 @@ def _budget_fn(budget: int):
            state: GroupState) -> Iterator[pd.DataFrame]:
         (host,) = key
         taken = state.get[0] if state.exists else 0
-        for pdf in batches:
-            urls = sorted(pdf["url"].tolist())
-            keep = urls[: max(0, budget - taken)]
-            taken += len(keep)
-            if keep:
-                yield pd.DataFrame({"host": [host] * len(keep), "url": keep})
+        # a host group larger than one Arrow batch arrives as SEVERAL
+        # chunks in shuffle order; the url-ascending admission order must
+        # cover the WHOLE group (same contract fix as content_dedup's
+        # band buckets), else which urls consume the budget would depend
+        # on chunk boundaries
+        urls = sorted(u for pdf in batches for u in pdf["url"].tolist())
+        keep = urls[: max(0, budget - taken)]
+        taken += len(keep)
+        if keep:
+            yield pd.DataFrame({"host": [host] * len(keep), "url": keep})
         state.update((taken,))
 
     return fn

@@ -110,6 +110,28 @@ def test_simhash60_batch_matches_scalar(spark):
     assert simhash60_batch(texts) == expect  # memo warm — still identical
 
 
+def test_budget_fn_orders_across_arrow_chunks():
+    """Same chunk-order contract as the near-dup state function: a host
+    group spanning several Arrow chunks must admit the url-ascending
+    prefix of the WHOLE group, not chunk-by-chunk prefixes."""
+    import pandas as pd
+
+    from logtemplatecrawler_spark.streaming.stateful_dedup import _budget_fn
+
+    class _FakeState:
+        exists = False
+
+        def update(self, value):
+            self.updated = value
+
+    chunk_a = pd.DataFrame({"url": ["https://h.org/c", "https://h.org/e"]})
+    chunk_b = pd.DataFrame({"url": ["https://h.org/a", "https://h.org/d"]})
+    (out,) = _budget_fn(2)(("h.org",), [chunk_a, chunk_b], _FakeState())
+    # global sorted order is a,c,d,e — budget 2 admits a and c (the old
+    # per-chunk loop admitted c and e, chunk_a's prefix)
+    assert sorted(out["url"]) == ["https://h.org/a", "https://h.org/c"]
+
+
 def test_flag_fn_orders_across_arrow_chunks():
     """r6 fix: a band bucket bigger than one Arrow chunk arrives as SEVERAL
     pandas DataFrames in shuffle order; the state function must sort the
